@@ -1,0 +1,129 @@
+"""Deterministic synthetic source-code corpus + ingest.
+
+Generates the BASELINE.json input_hint table
+``(repo string, path string, commit string, lang string, content string)``
+with Zipfian repo sizes and Zipfian hot terms (skew exercise), then ingests
+it into the engine's canonical ``docs`` shape with derived columns:
+
+  doc_id   bigint  — dense, deterministic order by (repo, path, commit)
+  sha256   string  — sha2(content, 256); per-row invariant vs the generator
+  doc_len  int     — token count post-analysis
+
+Mirrors (in behavior, not code) the reference ingest
+``ingest_papers.py:457-542`` which lists files in lexicographic order and
+derives ids deterministically (``es_indexer.py:176-179``).
+
+Everything is seeded — no wall clock, no randomness outside numpy PCG64.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analysis import tokens_col
+
+LANGS = ("python", "java", "js", "go", "md")
+_EXT = {"python": "py", "java": "java", "js": "js", "go": "go", "md": "md"}
+
+_KEYWORDS = (
+    "def class import return if else for while try except lambda yield "
+    "public static void new extends implements interface function var let "
+    "const async await package func type struct range chan map the and "
+    "data value result buffer parse json string read file write stream "
+    "index search query token merge sort hash join filter group count"
+).split()
+
+_IDENT_HEADS = (
+    "parse read write merge build encode decode fetch load store scan "
+    "split score rank index flush apply reduce emit walk visit probe"
+).split()
+_IDENT_TAILS = (
+    "Json Buffer File String Stream Token Index Query Block Segment "
+    "Record Batch Posting Score Heap Cache Table Shard Chunk Doc"
+).split()
+_SNAKE_TAILS = (
+    "json buffer file string stream token index query block segment "
+    "record batch posting score heap cache table shard chunk doc"
+).split()
+
+
+def generate_corpus(n_docs: int = 500, seed: int = 42) -> pd.DataFrame:
+    """Deterministic pandas corpus; code-like content with Zipfian terms."""
+    rng = np.random.default_rng(seed)
+    n_repos = max(2, n_docs // 40)
+    # Zipfian repo sizes
+    repo_w = 1.0 / np.arange(1, n_repos + 1)
+    repo_w /= repo_w.sum()
+    rows = []
+    kw = np.array(_KEYWORDS)
+    kw_w = 1.0 / np.arange(1, len(kw) + 1) ** 1.1
+    kw_w /= kw_w.sum()
+    for i in range(n_docs):
+        r = int(rng.choice(n_repos, p=repo_w))
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        repo = f"org{r % 7}/proj{r}"
+        path = f"src/mod{int(rng.integers(0, 20))}/file{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}/{path}@rev{i}".encode()).hexdigest()
+        n_terms = int(rng.integers(30, 220))
+        words = list(rng.choice(kw, size=n_terms, p=kw_w))
+        # identifiers: camelCase + snake_case + digit-suffixed
+        for _ in range(max(3, n_terms // 8)):
+            h = _IDENT_HEADS[int(rng.integers(0, len(_IDENT_HEADS)))]
+            if rng.random() < 0.5:
+                words.append(h + _IDENT_TAILS[int(rng.integers(0, len(_IDENT_TAILS)))])
+            else:
+                words.append(h + "_" + _SNAKE_TAILS[int(rng.integers(0, len(_SNAKE_TAILS)))])
+            if rng.random() < 0.3:
+                words.append(f"utf{int(rng.integers(2, 64))}")
+        # one globally-unique rare term per doc (exact-match tests)
+        words.append(f"uniqterm{i:06d}")
+        perm = rng.permutation(len(words))
+        toks = [words[j] for j in perm]
+        # sprinkle code punctuation deterministically
+        content = ""
+        for j, t in enumerate(toks):
+            sep = "(" if j % 11 == 3 else ("); " if j % 11 == 7 else (".\n" if j % 17 == 16 else " "))
+            content += t + sep
+        rows.append((repo, path, commit, lang, content))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def corpus_df(spark: SparkSession, n_docs: int = 500, seed: int = 42, n_partitions: int = 8) -> DataFrame:
+    pdf = generate_corpus(n_docs, seed)
+    return spark.createDataFrame(pdf).repartition(n_partitions, "repo", "path")
+
+
+def ingest(corpus: DataFrame) -> DataFrame:
+    """corpus -> canonical docs(doc_id, repo, path, commit, lang, content,
+    sha256, doc_len, tokens).
+
+    doc_id must be dense + deterministic: row_number over (repo, path,
+    commit). At 10^12-file scale a global row_number is a single-partition
+    sort bottleneck — there you'd use zipWithIndex-per-partition-offset or
+    (repo-bucket << 40 | local id); semantics here are what the tests pin.
+    """
+    w = Window.orderBy("repo", "path", "commit")
+    toks = tokens_col("content")
+    return (
+        corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - F.lit(1))
+        .withColumn("sha256", F.sha2(F.col("content"), 256))
+        .withColumn("tokens", toks)
+        .withColumn("doc_len", F.size("tokens"))
+    )
+
+
+def ingest_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the driver's documents.parquet (doc_id, text, lang, source,
+    n_chars) into the same canonical shape (text ~ content)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        df.withColumnRenamed("text", "content")
+        .withColumn("sha256", F.sha2(F.col("content"), 256))
+        .withColumn("tokens", tokens_col("content"))
+        .withColumn("doc_len", F.size("tokens"))
+    )

@@ -1,0 +1,97 @@
+"""High-level engine facade over the driver `documents` table.
+
+Bundles ingest -> index -> query for in-memory use (tests, driver entry,
+bench) and exposes the SQL strings the DuckDB oracle runs side-by-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import duckdb_tokens_expr, tokenize_py
+from .corpus import ingest_documents_table
+from .indexing import B, K1, CorpusStats, build_postings, build_term_stats, corpus_stats
+from .scoring import bm25_topk
+
+
+class DocumentsEngine:
+    """BM25 engine over documents.parquet (doc_id, text, lang, source, n_chars)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.docs = ingest_documents_table(spark, sf_dir).cache()
+        self.postings = build_postings(self.docs).cache()
+        self.doc_lens = self.docs.select("doc_id", "doc_len")
+        self.term_stats = build_term_stats(self.postings)
+        self.stats: CorpusStats = corpus_stats(self.docs)
+
+    def search(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
+        out = bm25_topk(
+            self.postings, self.doc_lens, self.term_stats, self.stats, query, k
+        )
+        if round_to is not None:
+            out = out.select("doc_id", F.round("score", round_to).alias("score"))
+        return out
+
+
+_ENGINE_CACHE: dict[tuple[int, str], DocumentsEngine] = {}
+
+
+def documents_engine(spark: SparkSession, sf_dir: str) -> DocumentsEngine:
+    key = (id(spark), sf_dir)
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = DocumentsEngine(spark, sf_dir)
+    return _ENGINE_CACHE[key]
+
+
+def bm25_oracle_sql(query: str, k: int = 10, round_to: int = 4,
+                    k1: float = K1, b: float = B) -> str:
+    """ANSI-SQL BM25 over the `documents` view, runnable by DuckDB.
+
+    Same tokenizer spec (analysis.duckdb_tokens_expr — parity-tested), same
+    formula as scoring.bm25_topk; used by __spark_entry__.oracle_sql().
+    """
+    from collections import Counter
+
+    qterms = Counter(tokenize_py(query))
+    if not qterms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    qvals = ", ".join(f"('{t}', {float(c)})" for t, c in sorted(qterms.items()))
+    toks = duckdb_tokens_expr("text")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+lens AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl FROM tokd
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tokd)
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+q(term, qtf) AS (VALUES {qvals}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, {round_to}) AS score
+FROM scored
+ORDER BY scored.score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,81 @@
+"""Exact BM25 top-k over uncompressed postings — the pure-DataFrame path.
+
+The whole query is ONE Catalyst plan: broadcast the (tiny) query-term set
+against postings (J5 in SURVEY §2.3), compute per-(doc, term) BM25 as a
+column expression (whole-stage codegen, no python), sum per doc, and let
+``orderBy(...).limit(k)`` plan a TakeOrderedAndProject (per-partition
+bounded heap + driver merge — exactly the north rule's "bounded top-k
+heap", provided by Spark's physical planner).
+
+BM25 (reference-declared semantics, SURVEY §2.5 SC1; ES/Lucene defaults
+k1=1.2, b=0.75):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d,t)  = idf(t) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(d)= sum over query terms (counted with multiplicity)
+
+Tie-break everywhere: score desc, doc_id asc (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokenize_py
+from .indexing import B, K1, CorpusStats
+
+
+def bm25_score_col(tf, df, dl, n_docs: int, avgdl: float, k1: float = K1, b: float = B):
+    """BM25 per-(doc,term) partial score as a Column expression."""
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - df + 0.5) / (df + 0.5))
+    return idf * tf / (tf + k1 * (1.0 - b + b * dl / F.lit(float(max(avgdl, 1e-9)))))
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a free-text query. Columns: doc_id, score."""
+    spark = postings.sparkSession
+    qterms = Counter(tokenize_py(query))
+    if not qterms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qdf = spark.createDataFrame(
+        [(t, float(c)) for t, c in qterms.items()], "term string, qtf double"
+    )
+    # broadcast tiny query-term set into the postings scan; Catalyst pushes
+    # the term IN-filter down to the parquet scan of a materialized index
+    matched = postings.join(F.broadcast(qdf), "term")
+    scored = (
+        matched.join(F.broadcast(qdf.join(term_stats, "term")).select("term", "df"), "term")
+        .join(doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id")
+        .withColumn(
+            "partial",
+            F.col("qtf")
+            * bm25_score_col(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("dl").cast("double"),
+                stats.n_docs,
+                stats.avgdl,
+                k1,
+                b,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

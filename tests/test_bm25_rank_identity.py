@@ -1,0 +1,114 @@
+"""End-to-end rank identity: Spark exact BM25 == pure-python oracle.
+
+Query suite seeded from the reference's own strings (FIXTURES.md §2):
+"transformer models" (es_indexer.py:517), "transformer attention mechanism"
+(docs/API_REFERENCE.md:83-93) plus code-flavored queries over the synthetic
+source-code corpus and the driver documents table.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_codesearch.corpus import corpus_df, generate_corpus, ingest
+from pyspark_codesearch.indexing import build_postings, build_term_stats, corpus_stats
+from pyspark_codesearch.oracle import OracleIndex
+from pyspark_codesearch.scoring import bm25_topk
+
+QUERIES = [
+    "parse json string",
+    "read file buffer",
+    "transformer models",
+    "transformer attention mechanism",
+    "uniqterm000042",                 # unique rare term -> exactly 1 hit
+    "the and of to",                  # stopword-only -> empty
+    "merge sort zzznotaterm",         # one unknown term
+    "parseJsonString",                # camelCase query analyzed like docs
+    "index",
+]
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    docs = ingest(corpus_df(spark, N_DOCS, seed=42)).cache()
+    postings = build_postings(docs).cache()
+    return {
+        "docs": docs,
+        "postings": postings,
+        "doc_lens": docs.select("doc_id", "doc_len"),
+        "term_stats": build_term_stats(postings),
+        "stats": corpus_stats(docs),
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, engine):
+    rows = engine["docs"].select("doc_id", "content").collect()
+    return OracleIndex({r["doc_id"]: r["content"] for r in rows})
+
+
+def test_corpus_is_deterministic():
+    a = generate_corpus(50, seed=42)
+    b = generate_corpus(50, seed=42)
+    assert a.equals(b)
+    assert not a.equals(generate_corpus(50, seed=43))
+
+
+def test_doc_ids_dense_and_sha256(spark, engine):
+    docs = engine["docs"]
+    n = docs.count()
+    row = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.countDistinct("doc_id")
+    ).collect()[0]
+    assert row[0] == 0 and row[1] == n - 1 and row[2] == n
+    # per-row sha256 invariant vs generator (north rule)
+    import hashlib
+
+    sample = docs.select("content", "sha256").limit(20).collect()
+    for r in sample:
+        assert hashlib.sha256(r["content"].encode()).hexdigest() == r["sha256"]
+
+
+def test_doc_len_matches_oracle(engine, oracle):
+    for r in engine["docs"].select("doc_id", "doc_len").collect():
+        assert r["doc_len"] == oracle.doc_len[r["doc_id"]], r["doc_id"]
+
+
+def test_stats_match_oracle(engine, oracle):
+    st = engine["stats"]
+    assert st.n_docs == oracle.n_docs
+    assert abs(st.avgdl - oracle.avgdl) < 1e-9
+
+
+def test_df_matches_oracle(engine, oracle):
+    got = {r["term"]: r["df"] for r in engine["term_stats"].collect()}
+    assert got == dict(oracle.df)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity(engine, oracle, query):
+    k = 10
+    expected = oracle.search(query, k)
+    got = bm25_topk(
+        engine["postings"], engine["doc_lens"], engine["term_stats"],
+        engine["stats"], query, k,
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected], query
+    for r, (_, s) in zip(got, expected):
+        assert r["score"] == pytest.approx(s, abs=1e-9), (query, r["doc_id"])
+
+
+def test_unique_term_exact_hit(engine, oracle):
+    # the analyzer splits uniqterm000007 -> [uniqterm, 000007]; "000007"
+    # is unique to one doc, so the top hit must contain the literal string
+    expected = oracle.search("uniqterm000007", 10)
+    got = bm25_topk(
+        engine["postings"], engine["doc_lens"], engine["term_stats"],
+        engine["stats"], "uniqterm000007", 10,
+    ).collect()
+    assert got[0]["doc_id"] == expected[0][0]
+    top = (
+        engine["docs"].filter(F.col("doc_id") == got[0]["doc_id"]).collect()[0]
+    )
+    assert "uniqterm000007" in top["content"]
