@@ -18,17 +18,44 @@ from .scoring import bm25_topk
 class DocumentsEngine:
     """BM25 engine over documents.parquet (doc_id, text, lang, source, n_chars)."""
 
+    SALT_RANGE = 128  # small so doc-range salting is exercised at test scale
+
     def __init__(self, spark: SparkSession, sf_dir: str):
+        from .pyfiles import ensure_py_files
+
+        ensure_py_files(spark)  # executors need the package for pandas UDFs
         self.spark = spark
         self.docs = ingest_documents_table(spark, sf_dir).cache()
         self.postings = build_postings(self.docs).cache()
-        self.doc_lens = self.docs.select("doc_id", "doc_len")
+        self.doc_lens = self.docs.select("doc_id", "doc_len").cache()
         self.term_stats = build_term_stats(self.postings)
         self.stats: CorpusStats = corpus_stats(self.docs)
+        self._segments = None
+
+    @property
+    def segments(self) -> DataFrame:
+        if self._segments is None:
+            from .indexing import build_segments
+
+            self._segments = build_segments(
+                self.postings, self.doc_lens, self.stats, salt_range=self.SALT_RANGE
+            ).cache()
+        return self._segments
 
     def search(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         out = bm25_topk(
             self.postings, self.doc_lens, self.term_stats, self.stats, query, k
+        )
+        if round_to is not None:
+            out = out.select("doc_id", F.round("score", round_to).alias("score"))
+        return out
+
+    def search_wand(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
+        from .wand import wand_topk
+
+        out = wand_topk(
+            self.segments, self.doc_lens, self.stats, query, k,
+            salt_range=self.SALT_RANGE,
         )
         if round_to is not None:
             out = out.select("doc_id", F.round("score", round_to).alias("score"))

@@ -63,6 +63,22 @@ for _name, (_q, _k) in _BM25_QUERIES.items():
     register(_name, bm25_oracle_sql(_q, _k))(_mk())
 
 
+# the SAME queries through the compressed-segment block-max WAND path —
+# proves the scale path is rank-identical, checked by the same SQL oracle
+for _name, (_q, _k) in {
+    "bm25_wand_scan_merge": ("table scan merge join", 20),
+    "bm25_wand_mixed_rarity": ("window agg stream dup", 20),
+}.items():
+
+    def _mk_wand(q=_q, k=_k):
+        def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return documents_engine(spark, sf_dir).search_wand(q, k, round_to=4)
+
+        return f
+
+    register(_name, bm25_oracle_sql(_q, _k))(_mk_wand())
+
+
 # ------------------------------------------------- analyzer-derived columns
 
 @register(

@@ -1,0 +1,159 @@
+"""Top-k BM25 over compressed segments with MaxScore/block-max pruning.
+
+This is the scale path the north rule asks for (the reference delegates the
+equivalent to Lucene's WAND/MAXSCORE inside Elasticsearch — implied by its
+multi_match DSL, es_indexer.py:276-284). Per doc-id-range salt:
+
+  segments(term, salt, blocks...)  cogroup  doc_lens(salt, doc_id, doc_len)
+      -> applyInPandas MaxScore scorer -> per-salt top-k -> global top-k
+
+Pruning (lossless for top-k):
+- terms processed in descending max-contribution C_t = qtf * idf_t * max
+  block impact; once the sum of remaining C_t falls below the running
+  k-th-best score θ, the remaining terms become *lookup* terms — they can
+  no longer introduce new candidate docs, so their blocks are decoded only
+  where [first_doc, last_doc] intersects the candidate set (block-max
+  metadata = the skip index).
+- per-salt top-k lists are unioned and re-limited globally; doc-range
+  salting guarantees a doc's postings never straddle salts, so the union
+  is exact.
+
+Parallelism story at 100 TB: every (salt) group holds at most
+``salt_range`` postings per term; hot Zipfian terms fan out across salts =
+across executors. doc_lens arrives cogrouped by the same salt key (in a
+real deployment both sides are bucketed by salt, making this co-located).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokenize_py
+from .codecs import delta_decode, varbyte_decode
+from .indexing import B, K1, CorpusStats
+
+
+def _idf(n_docs: int, df: float) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _score_salt(
+    seg_pdf: pd.DataFrame,
+    lens_pdf: pd.DataFrame,
+    qtf: dict[str, float],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    if seg_pdf.empty or lens_pdf.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    base = int(lens_pdf["doc_id"].min())
+    span = int(lens_pdf["doc_id"].max()) - base + 1
+    dl = np.zeros(span, dtype=np.float64)
+    dl[lens_pdf["doc_id"].to_numpy(np.int64) - base] = lens_pdf["doc_len"].to_numpy(np.float64)
+    norm_c = k1 * (1.0 - b + b * dl / max(avgdl, 1e-9))  # per-doc constant
+
+    # per-term block table + max contribution C_t
+    terms = []
+    for term, g in seg_pdf.groupby("term", sort=True):
+        g = g.sort_values("block_id")
+        w = qtf[term] * _idf(n_docs, float(g["df"].iloc[0]))
+        c_t = w * float(g["block_max_impact"].max())
+        terms.append((term, w, c_t, g))
+    terms.sort(key=lambda t: (-t[2], t[0]))
+
+    def decode_blocks(g: pd.DataFrame, hi_ids=None):
+        """decode (ids, tfs); optionally only blocks intersecting cand ids."""
+        ids_l, tfs_l = [], []
+        for row in g.itertuples(index=False):
+            if hi_ids is not None:
+                # block-range skip: candidate ids are sorted
+                j = np.searchsorted(hi_ids, row.first_doc)
+                if j >= hi_ids.size or hi_ids[j] > row.last_doc:
+                    continue
+            ids_l.append(delta_decode(row.doc_ids_enc))
+            tfs_l.append(varbyte_decode(row.tfs_enc).astype(np.float64))
+        if not ids_l:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(ids_l), np.concatenate(tfs_l)
+
+    cand_ids = np.empty(0, np.int64)
+    cand_scores = np.empty(0, np.float64)
+    c_values = [c for _, _, c, _ in terms]
+    lookup_mode = False
+    for i, (term, w, c_t, g) in enumerate(terms):
+        if not lookup_mode and cand_ids.size >= k:
+            theta = float(
+                np.partition(cand_scores, cand_scores.size - k)[cand_scores.size - k]
+            )
+            # MaxScore switch: docs NOT yet candidates can gain at most the
+            # sum of ALL remaining max-contributions; below θ they can never
+            # enter the top-k, so the candidate set freezes. Every remaining
+            # term is still applied to candidates (scores stay EXACT — the
+            # north rule demands rank-identical scores, so pruning may drop
+            # only provably-losing docs, never contributions of winners).
+            if float(sum(c_values[i:])) < theta:
+                lookup_mode = True
+        if lookup_mode:
+            ids, tfs = decode_blocks(g, hi_ids=cand_ids)  # block-range skip
+            if ids.size == 0:
+                continue
+            part = w * tfs / (tfs + norm_c[ids - base])
+            pos = np.searchsorted(cand_ids, ids)
+            hit = (pos < cand_ids.size) & (cand_ids[np.minimum(pos, cand_ids.size - 1)] == ids)
+            np.add.at(cand_scores, pos[hit], part[hit])
+        else:
+            ids, tfs = decode_blocks(g)
+            part = w * tfs / (tfs + norm_c[ids - base])
+            all_ids = np.concatenate([cand_ids, ids])
+            all_sc = np.concatenate([cand_scores, part])
+            cand_ids, inv = np.unique(all_ids, return_inverse=True)
+            cand_scores = np.zeros(cand_ids.size, np.float64)
+            np.add.at(cand_scores, inv, all_sc)
+
+    if cand_ids.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    top = min(k, cand_ids.size)
+    order = np.lexsort((cand_ids, -cand_scores))[:top]
+    return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
+
+
+def wand_topk(
+    segments: DataFrame,
+    doc_lens: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    k: int = 10,
+    *,
+    salt_range: int = 1 << 20,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k (doc_id, score) via pruned scoring over compressed segments."""
+    spark = segments.sparkSession
+    qtf = {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
+    if not qtf:
+        return spark.createDataFrame([], "doc_id long, score double")
+    # IN-filter on term is pushed down to the segments parquet scan
+    seg = segments.filter(F.col("term").isin(list(qtf)))
+    lens = doc_lens.withColumn(
+        "salt", (F.col("doc_id") / F.lit(salt_range)).cast("int")
+    )
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+
+    def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_salt(seg_pdf, lens_pdf, qtf, n_docs, avgdl, k, k1, b)
+
+    per_salt = (
+        seg.groupBy("salt")
+        .cogroup(lens.groupBy("salt"))
+        .applyInPandas(score_fn, "doc_id long, score double")
+    )
+    return per_salt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,142 @@
+"""Compressed segments + block-max WAND scorer.
+
+- segment roundtrip: decode(segments) == raw postings
+- salting invariance: different salt_range -> identical decoded postings
+- WAND rank identity: wand_topk == exact bm25_topk == oracle, incl. the
+  pruning-active regime (small k, many candidates)
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_codesearch.codecs import delta_decode, varbyte_decode
+from pyspark_codesearch.corpus import corpus_df, ingest
+from pyspark_codesearch.indexing import (
+    build_postings,
+    build_segments,
+    build_term_stats,
+    corpus_stats,
+)
+from pyspark_codesearch.oracle import OracleIndex
+from pyspark_codesearch.scoring import bm25_topk
+from pyspark_codesearch.wand import wand_topk
+
+N_DOCS = 300
+SALT_RANGE = 64  # small so salting actually splits the corpus
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    docs = ingest(corpus_df(spark, N_DOCS, seed=7)).cache()
+    postings = build_postings(docs).cache()
+    stats = corpus_stats(docs)
+    doc_lens = docs.select("doc_id", "doc_len").cache()
+    segments = build_segments(
+        postings, doc_lens, stats, salt_range=SALT_RANGE
+    ).cache()
+    return {
+        "docs": docs,
+        "postings": postings,
+        "stats": stats,
+        "doc_lens": doc_lens,
+        "segments": segments,
+        "term_stats": build_term_stats(postings),
+    }
+
+
+def _decode_all(segments_rows):
+    """segments rows -> {term: [(doc_id, tf), ...] sorted}."""
+    by_term = {}
+    for r in sorted(segments_rows, key=lambda r: (r["term"], r["salt"], r["block_id"])):
+        ids = delta_decode(r["doc_ids_enc"])
+        tfs = varbyte_decode(r["tfs_enc"])
+        by_term.setdefault(r["term"], []).extend(zip(ids.tolist(), tfs.tolist()))
+    return by_term
+
+
+def test_segment_roundtrip(env):
+    raw = {}
+    for r in env["postings"].collect():
+        raw.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+    for t in raw:
+        raw[t].sort()
+    dec = _decode_all(env["segments"].collect())
+    assert dec.keys() == raw.keys()
+    for t in raw:
+        assert dec[t] == raw[t], t
+
+
+def test_segment_block_invariants(env):
+    for r in env["segments"].collect():
+        ids = delta_decode(r["doc_ids_enc"])
+        tfs = varbyte_decode(r["tfs_enc"])
+        assert len(ids) == r["n_docs"] == len(tfs)
+        assert r["n_docs"] <= 128
+        assert ids[0] == r["first_doc"] and ids[-1] == r["last_doc"]
+        assert (np.diff(ids) > 0).all()
+        assert tfs.max() == r["block_max_tf"]
+        # all ids inside the salt's doc range
+        assert ids[0] >= r["salt"] * SALT_RANGE
+        assert ids[-1] < (r["salt"] + 1) * SALT_RANGE
+
+
+def test_salting_invariance(env):
+    """salted output must decode byte-identically to a single-salt build
+    (SURVEY §7 hard parts)."""
+    unsalted = build_segments(
+        env["postings"], env["doc_lens"], env["stats"], salt_range=1 << 40
+    )
+    assert _decode_all(unsalted.collect()) == _decode_all(env["segments"].collect())
+
+
+def test_df_consistent_across_salts(env):
+    bad = (
+        env["segments"]
+        .groupBy("term")
+        .agg(F.countDistinct("df").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert bad == 0
+    # df equals the true document frequency
+    true_df = {r["term"]: r["df"] for r in env["term_stats"].collect()}
+    seg_df = {
+        r["term"]: r["df"]
+        for r in env["segments"].select("term", "df").distinct().collect()
+    }
+    assert seg_df == true_df
+
+
+WAND_QUERIES = [
+    "parse json string",
+    "merge sort index",
+    "data value result buffer",
+    "encodeJson decode_buffer stream",
+    "return data index query token merge sort hash",  # many terms -> pruning
+    "zzznotaterm",
+]
+
+
+@pytest.mark.parametrize("query", WAND_QUERIES)
+@pytest.mark.parametrize("k", [3, 10])
+def test_wand_rank_identity(env, oracle_ix, query, k):
+    exact = bm25_topk(
+        env["postings"], env["doc_lens"], env["term_stats"], env["stats"], query, k
+    ).collect()
+    wand = wand_topk(
+        env["segments"], env["doc_lens"], env["stats"], query, k, salt_range=SALT_RANGE
+    ).collect()
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact], query
+    for w, e in zip(wand, exact):
+        assert w["score"] == pytest.approx(e["score"], abs=1e-9)
+    expected = oracle_ix.search(query, k)
+    assert [r["doc_id"] for r in wand] == [d for d, _ in expected], query
+    for w, (_, s) in zip(wand, expected):
+        assert w["score"] == pytest.approx(s, abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def oracle_ix(env):
+    rows = env["docs"].select("doc_id", "content").collect()
+    return OracleIndex({r["doc_id"]: r["content"] for r in rows})
