@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  index_build     ingest documents + postings + compressed segments (x16
+                  replicated corpus so the measurement is work-, not
+                  overhead-dominated)
+  bm25_batch      exact DataFrame BM25, 8-query batch
+  wand_batch      block-max WAND over compressed segments, same queries
+  dedup_minhash   MinHash+LSH candidate pairs over documents
+  simsearch       brute-force cosine top-20 over embeddings
+  relational      pricing summary + revenue-by-nation star join
+
+{"metric": "total_wall_sec", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1, "files_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "table scan merge join",
+    "window agg stream dup",
+    "data value result",
+    "spark filter query group",
+    "hash join batch row column",
+    "dup",
+    "tableScan mergeJoin",
+    "slow vector line order key",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    replicate = int(os.environ.get("BENCH_REPLICATE", "16"))
+
+    from pyspark.sql import functions as F
+
+    from pyspark_codesearch.indexing import (
+        build_postings_with_dl,
+        build_segments,
+        build_term_stats,
+        corpus_stats,
+    )
+    from pyspark_codesearch.pyfiles import ensure_py_files
+    from pyspark_codesearch.scoring import bm25_topk
+    from pyspark_codesearch.session import get_spark
+    from pyspark_codesearch.wand import wand_topk
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_py_files(spark)
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    # ---- index build over a replicated corpus (bigger, still deterministic)
+    from pyspark_codesearch.corpus import replicated_documents
+
+    docs = replicated_documents(spark, sf_dir, replicate, int(cpus) * 2).cache()
+    n_docs = docs.count()
+
+    salt_range = max(1024, n_docs // int(cpus))
+    with timed("index_build"):
+        stats = corpus_stats(docs)
+        doc_lens = docs.select("doc_id", "doc_len").cache()
+        postings_dl = build_postings_with_dl(docs).cache()
+        postings_dl.count()
+        segments = build_segments(postings_dl, stats, salt_range=salt_range).cache()
+        segments.count()
+    postings = postings_dl
+    term_stats = build_term_stats(postings).cache()
+    term_stats.count()
+
+    with timed("bm25_batch"):
+        for q in BENCH_QUERIES:
+            bm25_topk(postings, doc_lens, term_stats, stats, q, 10).collect()
+
+    with timed("wand_batch"):
+        for q in BENCH_QUERIES:
+            wand_topk(segments, doc_lens, term_stats, stats, q, 10, salt_range=salt_range).collect()
+
+    from pyspark_codesearch.scoring import bm25_topk_batch
+
+    with timed("bm25_batch_oneplan"):
+        bm25_topk_batch(
+            postings, doc_lens, term_stats, stats,
+            {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}, 10,
+        ).collect()
+
+    from pyspark_codesearch.operators.dedup import lsh_candidate_pairs
+    from pyspark_codesearch.operators.relational import pricing_summary, revenue_by_nation
+    from pyspark_codesearch.operators.simsearch import cosine_topk
+
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with timed("dedup_minhash"):
+        lsh_candidate_pairs(raw_docs).count()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    with timed("simsearch"):
+        cosine_topk(emb, qv, 20).collect()
+
+    with timed("relational"):
+        pricing_summary(spark, sf_dir).collect()
+        revenue_by_nation(spark, sf_dir).collect()
+
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs_indexed": n_docs,
+                "files_per_sec": round(n_docs / timings["index_build"], 1),
+                "query_p50_sec": round(
+                    sorted(
+                        [timings["bm25_batch"] / len(BENCH_QUERIES)] * 1
+                        + [timings["wand_batch"] / len(BENCH_QUERIES)]
+                    )[0],
+                    4,
+                ),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

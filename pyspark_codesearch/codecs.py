@@ -55,6 +55,49 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varbyte_sizes(values: np.ndarray) -> np.ndarray:
+    """#bytes each value needs under VByte (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    rest = v >> np.uint64(7)
+    while rest.any():
+        nbytes += (rest > 0).astype(np.int64)
+        rest >>= np.uint64(7)
+    return nbytes
+
+
+def encode_blocked(ids: np.ndarray, tfs: np.ndarray, block: int):
+    """Encode a whole posting run in TWO varbyte passes, then slice per
+    block: gaps restart (absolute value) at each block boundary so blocks
+    stay independently decodable. Returns (ids_bufs, tfs_bufs) lists.
+
+    One numpy pass per group instead of ~10 numpy calls per 128-doc
+    block — the applyInPandas encoder's hot loop.
+    """
+    n = ids.size
+    if n == 0:
+        return [], []
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(ids[0])
+    if n > 1:
+        d = np.diff(ids)
+        if (d <= 0).any():
+            raise ValueError("doc ids must be strictly increasing")
+        gaps[1:] = d.astype(np.uint64)
+    starts = np.arange(0, n, block)
+    gaps[starts] = ids[starts].astype(np.uint64)  # absolute at block start
+    id_buf = varbyte_encode(gaps)
+    tf_buf = varbyte_encode(tfs.astype(np.uint64))
+    id_off = np.concatenate(([0], np.cumsum(varbyte_sizes(gaps))))
+    tf_off = np.concatenate(([0], np.cumsum(varbyte_sizes(tfs.astype(np.uint64)))))
+    ids_bufs, tfs_bufs = [], []
+    for b0 in starts:
+        b1 = min(b0 + block, n)
+        ids_bufs.append(id_buf[id_off[b0] : id_off[b1]])
+        tfs_bufs.append(tf_buf[tf_off[b0] : tf_off[b1]])
+    return ids_bufs, tfs_bufs
+
+
 def delta_encode(sorted_ids: np.ndarray | list[int]) -> bytes:
     a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
     if a.size == 0:

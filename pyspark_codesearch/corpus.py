@@ -117,13 +117,40 @@ def ingest(corpus: DataFrame) -> DataFrame:
     )
 
 
-def ingest_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest the driver's documents.parquet (doc_id, text, lang, source,
-    n_chars) into the same canonical shape (text ~ content)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def ingest_documents_df(df: DataFrame) -> DataFrame:
+    """Apply the canonical ingest transforms to a raw documents frame."""
     return (
         df.withColumnRenamed("text", "content")
         .withColumn("sha256", F.sha2(F.col("content"), 256))
         .withColumn("tokens", tokens_col("content"))
         .withColumn("doc_len", F.size("tokens"))
     )
+
+
+def ingest_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the driver's documents.parquet (doc_id, text, lang, source,
+    n_chars) into the same canonical shape (text ~ content)."""
+    return ingest_documents_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def replicated_documents(
+    spark: SparkSession, sf_dir: str, factor: int, n_partitions: int
+) -> DataFrame:
+    """Bench corpus: documents x factor with distinct doc_ids,
+    REPARTITIONED BEFORE the ingest transforms.
+
+    Order matters: the driver parquet is one file = one input partition,
+    and Catalyst keeps projections next to the scan — deriving
+    tokens/sha256 before a repartition serializes the whole tokenize on
+    one core (measured: flat 8->32-core scaling until this split).
+    """
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = raw.count()
+    rep = spark.range(factor).withColumnRenamed("id", "rep")
+    replicated = (
+        raw.crossJoin(F.broadcast(rep))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_base)
+        .drop("rep")
+        .repartition(n_partitions)
+    )
+    return ingest_documents_df(replicated)

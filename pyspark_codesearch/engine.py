@@ -35,10 +35,10 @@ class DocumentsEngine:
     @property
     def segments(self) -> DataFrame:
         if self._segments is None:
-            from .indexing import build_segments
+            from .indexing import build_postings_with_dl, build_segments
 
             self._segments = build_segments(
-                self.postings, self.doc_lens, self.stats, salt_range=self.SALT_RANGE
+                build_postings_with_dl(self.docs), self.stats, salt_range=self.SALT_RANGE
             ).cache()
         return self._segments
 
@@ -54,7 +54,7 @@ class DocumentsEngine:
         from .wand import wand_topk
 
         out = wand_topk(
-            self.segments, self.doc_lens, self.stats, query, k,
+            self.segments, self.doc_lens, self.term_stats, self.stats, query, k,
             salt_range=self.SALT_RANGE,
         )
         if round_to is not None:

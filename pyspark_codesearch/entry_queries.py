@@ -27,7 +27,16 @@ ORACLE_SQL: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # executors must be able to import this package (pandas UDF
+            # closures) no matter where the calling driver process lives
+            from .pyfiles import ensure_py_files
+
+            ensure_py_files(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql
         return fn
@@ -165,6 +174,113 @@ def longest_docs_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ------------------------------------------------------------ dedup family
+
+from .operators import dedup as _dd  # noqa: E402
+
+
+@register("dedup_exact", _dd.exact_duplicates_sql())
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh_pairs", _dd.minhash_lsh_pairs_sql())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", _dd.ngram_jaccard_pairs_sql(threshold=0.5))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash", _dd.simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.simhash(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash_near", _dd.simhash_near_pairs_sql(max_hamming=8))
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+# ------------------------------------------------------- similarity search
+
+from .operators import simsearch as _ss  # noqa: E402
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_QV_SQL_CTE = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+
+@register(
+    "simsearch_cosine_topk",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM embeddings e, q
+)
+SELECT vec_id, round(c, 4) AS cos
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT 20
+""",
+)
+def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+# ---------------------------------------------------------- text analysis
+
+from .operators import textstats as _ts  # noqa: E402
+
+
+@register("text_language_id", _ts.language_id_sql())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.language_id(_docs(spark, sf_dir))
+
+
+@register("text_quality_score", _ts.quality_score_sql())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.quality_score(_docs(spark, sf_dir))
+
+
+@register("text_fingerprint", _ts.fingerprint_sql())
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.fingerprint(_docs(spark, sf_dir))
+
+
+@register("text_token_counts")  # BPE-ish counter: python-oracle in pytest
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.token_counts(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------- relational suite
+
+from .operators import relational as _rel  # noqa: E402
+
+register("rel_pricing_summary", _rel.PRICING_SUMMARY_SQL)(_rel.pricing_summary)
+register("rel_revenue_by_nation", _rel.REVENUE_BY_NATION_SQL)(_rel.revenue_by_nation)
+register("rel_top_customers", _rel.top_customers_sql())(_rel.top_customers)
+register("rel_sessionize_events", _rel.sessionize_events_sql())(_rel.sessionize_events)
+register("rel_events_json_agg", _rel.EVENTS_JSON_AGG_SQL)(_rel.events_json_agg)
+register("rel_distinct_users_daily", _rel.DISTINCT_USERS_DAILY_SQL)(_rel.distinct_users_daily)
+register("rel_orders_latest_per_customer", _rel.ORDERS_LATEST_SQL)(_rel.orders_latest_per_customer)
+register("rel_approx_distinct_users")(_rel.approx_distinct_users)  # rows-only
 
 
 @register(

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .codecs import delta_encode, varbyte_encode
+from .codecs import encode_blocked
 
 BLOCK_SIZE = 128
 K1 = 1.2
@@ -41,7 +41,7 @@ B = 0.75
 SEGMENT_SCHEMA = (
     "term string, salt int, block_id int, n_docs int, first_doc long, "
     "last_doc long, doc_ids_enc binary, tfs_enc binary, "
-    "block_max_tf int, block_max_impact double, df long"
+    "block_max_tf int, block_max_impact double"
 )
 
 
@@ -59,6 +59,17 @@ def build_postings(docs: DataFrame) -> DataFrame:
     )
 
 
+def build_postings_with_dl(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) — doc_len carried THROUGH the groupBy key
+    (functionally dependent on doc_id) instead of joined back afterwards:
+    saves a full postings<->doc_lens shuffle join in the build."""
+    return (
+        docs.select("doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
 def build_term_stats(postings: DataFrame) -> DataFrame:
     """(term, df). Small relative to postings; broadcast at query time."""
     return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -72,70 +83,67 @@ def corpus_stats(docs: DataFrame) -> CorpusStats:
 
 
 def build_segments(
-    postings: DataFrame,
-    doc_lens: DataFrame,
+    postings_dl: DataFrame,
     stats: CorpusStats,
     *,
     salt_range: int = 1 << 20,
-    shuffle_partitions: int | None = None,
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
     """Compressed block-max segments, salted by doc-id range.
 
+    Input: (term, doc_id, tf, dl) from :func:`build_postings_with_dl` —
+    no join in this stage; the ONLY shuffle is repartition(term, salt).
+
     ``salt_range`` bounds the postings of one (term, salt) group, so even a
     term appearing in EVERY doc of a 10^12-file corpus yields groups of at
     most ``salt_range`` postings (~1M → a few MB decoded) — no single
-    reducer ever sees a whole hot posting list.
+    reducer ever sees a whole hot posting list. Per-term df lives in the
+    (small, broadcastable) term_stats side table, not in segment rows.
     """
     avgdl = max(stats.avgdl, 1e-9)
-    enriched = (
-        postings.join(doc_lens.select("doc_id", "doc_len"), "doc_id")
-        .withColumn("salt", (F.col("doc_id") / F.lit(salt_range)).cast("int"))
-        .withColumn(
-            "impact",
-            F.col("tf")
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(avgdl))),
-        )
+    enriched = postings_dl.withColumn(
+        "salt", (F.col("doc_id") / F.lit(salt_range)).cast("int")
     )
-    # df is global per term (across salts): window-free two-step — compute
-    # once, broadcast-join back (term_stats is ~vocab-sized, and Spark will
-    # shuffle-join if it outgrows the broadcast threshold; correct either way)
-    term_stats = enriched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    enriched = enriched.join(term_stats, "term")
 
-    parted = enriched.repartition(
-        *( [shuffle_partitions] if shuffle_partitions else [] ), "term", "salt"
-    ).sortWithinPartitions("term", "salt", "doc_id")
+    kb = float(k1 * (1.0 - b))
+    kbn = float(k1 * b / avgdl)
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
-        df_ = int(pdf["df"].iloc[0])
         ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
-        imp = pdf["impact"].to_numpy(np.float64)
-        out = []
-        for b0 in range(0, len(ids), BLOCK_SIZE):
-            s = slice(b0, b0 + BLOCK_SIZE)
-            bi, bt, bm = ids[s], tfs[s], imp[s]
-            out.append(
-                (
-                    term, salt, b0 // BLOCK_SIZE, len(bi),
-                    int(bi[0]), int(bi[-1]),
-                    delta_encode(bi), varbyte_encode(bt),
-                    int(bt.max()), float(bm.max()), df_,
-                )
-            )
-        return pd.DataFrame(
-            out,
-            columns=[
-                "term", "salt", "block_id", "n_docs", "first_doc", "last_doc",
-                "doc_ids_enc", "tfs_enc", "block_max_tf", "block_max_impact", "df",
-            ],
-        )
+        dls = pdf["dl"].to_numpy(np.float64)
+        tfd = tfs.astype(np.float64)
+        imp = tfd / (tfd + kb + kbn * dls)
+        ids_bufs, tfs_bufs = encode_blocked(ids, tfs, BLOCK_SIZE)
+        nb = len(ids_bufs)
+        rows = {
+            "term": [term] * nb,
+            "salt": [salt] * nb,
+            "block_id": list(range(nb)),
+            "n_docs": [],
+            "first_doc": [],
+            "last_doc": [],
+            "doc_ids_enc": ids_bufs,
+            "tfs_enc": tfs_bufs,
+            "block_max_tf": [],
+            "block_max_impact": [],
+        }
+        for b0 in range(0, ids.size, BLOCK_SIZE):
+            b1 = min(b0 + BLOCK_SIZE, ids.size)
+            rows["n_docs"].append(b1 - b0)
+            rows["first_doc"].append(int(ids[b0]))
+            rows["last_doc"].append(int(ids[b1 - 1]))
+            rows["block_max_tf"].append(int(tfs[b0:b1].max()))
+            rows["block_max_impact"].append(float(imp[b0:b1].max()))
+        return pd.DataFrame(rows)
 
+    parted = enriched.repartition("term", "salt").sortWithinPartitions(
+        "term", "salt", "doc_id"
+    )
     return parted.groupBy("term", "salt").applyInPandas(encode_group, SEGMENT_SCHEMA)
 
 
@@ -156,11 +164,15 @@ def write_index(
     """
     stats = corpus_stats(docs)
     doc_lens = docs.select("doc_id", "doc_len")
-    postings = build_postings(docs)
-    segs = build_segments(postings, doc_lens, stats, salt_range=salt_range, k1=k1, b=b)
+    postings_dl = build_postings_with_dl(docs)
+    segs = build_segments(postings_dl, stats, salt_range=salt_range, k1=k1, b=b)
     segs.sortWithinPartitions("term", "salt", "block_id").write.mode("overwrite").parquet(
         f"{out_dir}/segments"
     )
+    postings_dl.select("term", "doc_id", "tf").write.mode("overwrite").parquet(
+        f"{out_dir}/postings"
+    )
+    build_term_stats(postings_dl).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
     docs.drop("tokens").write.mode("overwrite").parquet(f"{out_dir}/docs")
     doc_lens.write.mode("overwrite").parquet(f"{out_dir}/doc_lens")
     spark = docs.sparkSession

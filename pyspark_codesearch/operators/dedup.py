@@ -1,0 +1,381 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the point of each design):
+- exact: one hash-shuffle on sha256(text); canonical = min doc_id per
+  group (deterministic winner).
+- MinHash+LSH: signatures are per-doc map-side work; the ONLY shuffle is
+  the band-key self-join, and band keys are high-cardinality (md5 of 4
+  minhashes) so the join is skew-free by construction. Candidate pairs
+  then verified with exact shingle Jaccard — classic
+  shingle->minhash->band->bucket-join.
+- SimHash: 60-bit fingerprint (15 hex chars so the value fits a SIGNED
+  long — Spark has no unsigned 64-bit; DuckDB side uses the same 60
+  bits). Near-dup candidates join on 15-bit chunk equality (any doc pair
+  within hamming distance 3 shares >=1 of 4 chunks — pigeonhole).
+- embedding cosine near-dup: brute-force pair join at test scale;
+  random-hyperplane LSH buckets as the scale path (simsearch.py).
+
+All hash functions are md5-derived so the DuckDB oracles are exactly
+reproducible cross-engine (Spark md5() == DuckDB md5()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import duckdb_tokens_expr, tokens_col
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE = 3
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+# ----------------------------------------------------------------- exact
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id) for every doc in a >1-sized sha256 group."""
+    h = docs.select(F.col(id_col).alias("doc_id"), F.sha2(text_col, 256).alias("h"))
+    w = Window.partitionBy("h")
+    return (
+        h.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id")
+        .orderBy("doc_id")
+    )
+
+
+def exact_duplicates_sql(text_col: str = "text") -> str:
+    return f"""
+WITH h AS (SELECT doc_id, sha256({text_col}) AS h FROM documents),
+g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+             count(*) OVER (PARTITION BY h) AS group_size FROM h)
+SELECT doc_id, canonical_id FROM g WHERE group_size > 1 ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------- minhash + LSH
+def shingle_list(toks: list[str], n: int = SHINGLE) -> list[str]:
+    """n-gram shingles of a token list (shared by UDF and tests)."""
+    if len(toks) >= n:
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return [" ".join(toks)]
+
+
+def shingles_udf():
+    """Arrow-batched pandas UDF: text -> array<string> of shingles.
+
+    Deliberately a pandas UDF, not a Column expression: a `transform(
+    sequence(...), i -> toks[i] ...)` over a projected tokens column gets
+    the tokenizer regex chain INLINED into the lambda by CollapseProject
+    and re-evaluated per element — measured 50s vs 2.9s for this UDF on
+    sf0.1 (5k docs). The UDF tokenizes each doc exactly once.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..analysis import tokenize_series
+
+    @pandas_udf("array<string>")
+    def _sh(s):
+        return tokenize_series(s).map(shingle_list)
+
+    return _sh
+
+
+def _with_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, sh array<string>) with tokens computed exactly once."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), shingles_udf()(F.col(text_col)).alias("sh")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, sig array<string>[n_hashes]) — sig_i = min md5(i|shingle).
+
+    min over fixed-width hex strings == min over the underlying 128-bit
+    ints, so string MIN aggregates are exact and cross-engine stable.
+    """
+    sh = (
+        _with_shingles(docs, id_col, text_col)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(doc_a, doc_b) sharing at least one LSH band. doc_a < doc_b."""
+    rows = n_hashes // n_bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard over distinct shingles.
+
+    (doc_a, doc_b, jaccard) with jaccard >= threshold; the candidate
+    stage bounds the pair join (never O(n^2) on the full corpus).
+    """
+    cands = lsh_candidate_pairs(docs, id_col, text_col)
+    sets_ = _with_shingles(docs, id_col, text_col).select(
+        "doc_id", F.array_distinct("sh").alias("sh")
+    )
+    return (
+        cands.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_shingle_ctes(text_col: str = "text") -> str:
+    """CTE prefix defining shing(doc_id, shs array<string>)."""
+    t = duckdb_tokens_expr(text_col)
+    return f"""
+tokd AS (SELECT doc_id, {t} AS t FROM documents),
+shing AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {SHINGLE}
+              THEN list_transform(range(1, len(t) - {SHINGLE - 2}),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [array_to_string(t, ' ')] END AS shs
+  FROM tokd
+)"""
+
+
+def minhash_lsh_pairs_sql(text_col: str = "text",
+                          n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
+    rows = n_hashes // n_bands
+    mins = ", ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(n_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+            md5({" || '|' || ".join(f'h{b * rows + r}' for r in range(rows))}) AS key
+            FROM sig"""
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_duck_shingle_ctes(text_col)},
+sh AS (
+  SELECT DISTINCT doc_id, unnest(shs) AS s FROM shing
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs_sql(text_col: str = "text", threshold: float = 0.5) -> str:
+    pairs = minhash_lsh_pairs_sql(text_col).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH cand AS ({pairs}),
+{_duck_shingle_ctes(text_col)},
+sets_ AS (SELECT doc_id, list_distinct(shs) AS sh FROM shing)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM cand c
+JOIN sets_ a ON c.doc_a = a.doc_id
+JOIN sets_ b ON c.doc_b = b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------------------------------- simhash
+def _hex60_to_long(col):
+    """first 15 hex chars of md5 -> 60-bit non-negative long (JVM conv)."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — 60-bit, tf-weighted, md5 token hashes.
+
+    Pure column-expression implementation: explode tokens -> tf ->
+    explode bit positions -> signed sums -> bit reassembly. The 60x bit
+    fanout stays JVM-side (no python); at 100 TB you'd swap the fanout
+    for a pandas-UDF per-doc loop — parity-tested in tests.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("hv", _hex60_to_long(F.md5("t")))
+    )
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "hv",
+        "tf",
+    ).withColumn(
+        "w",
+        F.when(F.expr("(shiftright(hv, CAST(b AS INT)) & 1) = 1"), F.col("tf")).otherwise(
+            -F.col("tf")
+        ),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def simhash_sql(text_col: str = "text") -> str:
+    t = duckdb_tokens_expr(text_col)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf,
+         (('0x' || substring(md5(t), 1, 15))::UBIGINT)::BIGINT AS hv
+  FROM (SELECT doc_id, unnest({t}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf, unnest(range(0, {SIMHASH_BITS})) AS u(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming<=max_hamming) via 15-bit chunk-equality join.
+
+    Pigeonhole: hamming <= SIMHASH_CHUNKS-1 guarantees an equal chunk, so
+    the candidate join is an equi-join (shuffle on chunk value), never a
+    cross product.
+    """
+    sh = simhash(docs, id_col, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                        .alias("v"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["c", "v"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_pairs_sql(text_col: str = "text", max_hamming: int = 3) -> str:
+    base = simhash_sql(text_col).replace("ORDER BY doc_id", "")
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS c, (simhash >> {c * CHUNK_BITS}) & {(1 << CHUNK_BITS) - 1} AS v FROM sh"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH sh AS ({base}),
+chunks AS ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""

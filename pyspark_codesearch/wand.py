@@ -46,6 +46,7 @@ def _score_salt(
     seg_pdf: pd.DataFrame,
     lens_pdf: pd.DataFrame,
     qtf: dict[str, float],
+    dfs: dict[str, int],
     n_docs: int,
     avgdl: float,
     k: int,
@@ -60,11 +61,12 @@ def _score_salt(
     dl[lens_pdf["doc_id"].to_numpy(np.int64) - base] = lens_pdf["doc_len"].to_numpy(np.float64)
     norm_c = k1 * (1.0 - b + b * dl / max(avgdl, 1e-9))  # per-doc constant
 
-    # per-term block table + max contribution C_t
+    # per-term block table + max contribution C_t (df from the broadcast
+    # term_stats side table, not duplicated into segment rows)
     terms = []
     for term, g in seg_pdf.groupby("term", sort=True):
         g = g.sort_values("block_id")
-        w = qtf[term] * _idf(n_docs, float(g["df"].iloc[0]))
+        w = qtf[term] * _idf(n_docs, float(dfs[term]))
         c_t = w * float(g["block_max_impact"].max())
         terms.append((term, w, c_t, g))
     terms.sort(key=lambda t: (-t[2], t[0]))
@@ -128,6 +130,7 @@ def _score_salt(
 def wand_topk(
     segments: DataFrame,
     doc_lens: DataFrame,
+    term_stats: DataFrame,
     stats: CorpusStats,
     query: str,
     k: int = 10,
@@ -141,6 +144,15 @@ def wand_topk(
     qtf = {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
     if not qtf:
         return spark.createDataFrame([], "doc_id long, score double")
+    # df for the handful of query terms: driver-side lookup of the small
+    # side table (the reference's analogue: Lucene term dictionary seek)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(list(qtf))).collect()
+    }
+    qtf = {t: c for t, c in qtf.items() if t in dfs}
+    if not qtf:
+        return spark.createDataFrame([], "doc_id long, score double")
     # IN-filter on term is pushed down to the segments parquet scan
     seg = segments.filter(F.col("term").isin(list(qtf)))
     lens = doc_lens.withColumn(
@@ -149,7 +161,7 @@ def wand_topk(
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
     def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_salt(seg_pdf, lens_pdf, qtf, n_docs, avgdl, k, k1, b)
+        return _score_salt(seg_pdf, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b)
 
     per_salt = (
         seg.groupBy("salt")
@@ -157,3 +169,79 @@ def wand_topk(
         .applyInPandas(score_fn, "doc_id long, score double")
     )
     return per_salt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_batch(
+    segments: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    queries: dict[str, str],
+    k: int = 10,
+    *,
+    salt_range: int = 1 << 20,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """All queries in ONE cogroup pass: (query_id, rank, doc_id, score).
+
+    Segments are scanned once, term-pruned to the union of all query
+    terms; every salt partition runs the MaxScore scorer once per query
+    over its (already decoded-ready) term groups. One shuffle amortized
+    over the whole query batch — the scalable offline-retrieval shape.
+    """
+    spark = segments.sparkSession
+    qtfs = {
+        qid: {t: float(c) for t, c in Counter(tokenize_py(q)).items()}
+        for qid, q in queries.items()
+    }
+    all_terms = sorted({t for m in qtfs.values() for t in m})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(all_terms)).collect()
+    }
+    qtfs = {
+        qid: {t: c for t, c in m.items() if t in dfs} for qid, m in qtfs.items()
+    }
+    seg = segments.filter(F.col("term").isin(list(dfs)))
+    lens = doc_lens.withColumn(
+        "salt", (F.col("doc_id") / F.lit(salt_range)).cast("int")
+    )
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+
+    def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, qtf in qtfs.items():
+            if not qtf:
+                continue
+            sub = seg_pdf[seg_pdf["term"].isin(qtf)]
+            r = _score_salt(sub, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b)
+            if len(r):
+                r.insert(0, "query_id", qid)
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="object"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    per_salt = (
+        seg.groupBy("salt")
+        .cogroup(lens.groupBy("salt"))
+        .applyInPandas(score_fn, "query_id string, doc_id long, score double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_salt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )

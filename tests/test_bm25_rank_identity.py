@@ -112,3 +112,25 @@ def test_unique_term_exact_hit(engine, oracle):
         engine["docs"].filter(F.col("doc_id") == got[0]["doc_id"]).collect()[0]
     )
     assert "uniqterm000007" in top["content"]
+
+
+def test_batch_scorer_matches_single(engine):
+    from pyspark_codesearch.scoring import bm25_topk_batch
+
+    qmap = {"q0": "parse json string", "q1": "merge sort", "q2": "the and of"}
+    batch = bm25_topk_batch(
+        engine["postings"], engine["doc_lens"], engine["term_stats"],
+        engine["stats"], qmap, 10,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qmap.items():
+        single = bm25_topk(
+            engine["postings"], engine["doc_lens"], engine["term_stats"],
+            engine["stats"], q, 10,
+        ).collect()
+        got = by_q.get(qid, [])
+        assert [d for d, _ in got] == [r["doc_id"] for r in single], qid
+        for (_, s), r in zip(got, single):
+            assert s == pytest.approx(r["score"], abs=1e-9)

@@ -1,0 +1,109 @@
+"""Behavioral tests for dedup + similarity operators on planted cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_codesearch.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from pyspark_codesearch.operators.simsearch import (
+    ann_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+BASE = (
+    "def parse_json_string(buffer): return decode(buffer) "
+    "read file stream and merge sort the index tokens for query scan"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("merge sort", "quick sort")),  # near dup
+        (3, "completely different content about transformer attention models"),
+        (4, BASE),                                   # another exact dup
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(planted):
+    got = {(r["doc_id"], r["canonical_id"]) for r in exact_duplicates(planted).collect()}
+    assert got == {(0, 0), (1, 0), (4, 0)}
+
+
+def test_lsh_finds_exact_and_near(planted):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(planted).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 2) in pairs  # near dup shares most shingles
+    assert (0, 3) not in pairs and (3, 5) not in pairs
+
+
+def test_ngram_jaccard_scores(planted):
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(planted, threshold=0.3).collect()}
+    assert rows[(0, 1)] == 1.0 and rows[(0, 4)] == 1.0
+    assert 0.3 <= rows[(0, 2)] < 1.0
+
+
+def test_simhash_properties(planted):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(planted).collect()}
+    assert sh[0] == sh[1] == sh[4]
+    assert all(v >= 0 for v in sh.values())
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+
+
+def test_simhash_near_pairs(planted):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(planted, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dups of vector 100
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + 0.05 * rng.standard_normal(64)]))
+    rows.append((102, [float(x) for x in base + 0.05 * rng.standard_normal(64)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_topk_exact(vectors):
+    q_row = vectors.filter(F.col("vec_id") == 100).collect()[0]
+    q = [float(x) for x in q_row["embedding"]]
+    top = cosine_topk(vectors, q, k=3).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cos"] == 1.0
+    assert {top[1]["vec_id"], top[2]["vec_id"]} == {101, 102}
+
+
+def test_ann_recall_vs_brute(vectors):
+    q_row = vectors.filter(F.col("vec_id") == 100).collect()[0]
+    q = [float(x) for x in q_row["embedding"]]
+    brute = [r["vec_id"] for r in cosine_topk(vectors, q, k=5).collect()]
+    ann = [r["vec_id"] for r in ann_topk(vectors, q, k=5, multiprobe=1).collect()]
+    # planted near-dups must survive LSH bucketing
+    assert 100 in ann and 101 in ann
+    recall = len(set(brute) & set(ann)) / 5
+    assert recall >= 0.6, (brute, ann)
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(vectors, dim=64, threshold=0.9).collect()}
+    assert (100, 101) in pairs and (100, 102) in pairs
+    assert all(a >= 100 and b >= 100 for a, b in pairs)

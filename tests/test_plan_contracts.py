@@ -1,0 +1,105 @@
+"""Physical-plan contracts: the plans we'd want at 100 TB, asserted.
+
+- no row-at-a-time PythonUDF (BatchEvalPython) anywhere — the north
+  rule's "no per-row Python"; only Arrow-vectorized python nodes allowed
+- term IN-filter pushed into the parquet scan of a materialized index
+- small dims broadcast in the star join
+- whole-stage codegen covers the BM25 scoring expression
+- bounded top-k planned as TakeOrderedAndProject, never a global sort
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_codesearch.corpus import corpus_df, ingest
+from pyspark_codesearch.indexing import write_index
+from pyspark_codesearch.scoring import bm25_topk
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+FORBIDDEN = "BatchEvalPython"  # row-at-a-time python UDF node
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ix"))
+    docs = ingest(corpus_df(spark, 200, seed=9))
+    write_index(docs, d, salt_range=64)
+    return d
+
+
+def test_no_per_row_python_in_core_plans(spark, sf_dir):
+    from pyspark_codesearch.engine import documents_engine
+    from pyspark_codesearch.operators.dedup import lsh_candidate_pairs
+    from pyspark_codesearch.operators.textstats import quality_score
+
+    eng = documents_engine(spark, sf_dir)
+    plans = [
+        plan_str(eng.search("data value", 10)),
+        plan_str(eng.search_wand("data value", 10)),
+        plan_str(lsh_candidate_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))),
+        plan_str(quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))),
+    ]
+    for p in plans:
+        assert FORBIDDEN not in p
+
+
+def test_term_filter_pushed_to_parquet_scan(spark, index_dir):
+    segs = spark.read.parquet(f"{index_dir}/segments")
+    q = segs.filter(F.col("term").isin("parse", "json", "string"))
+    p = full_plan(q)
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term", p), p
+
+
+def test_column_pruning_reaches_scan(spark, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    q = docs.select("doc_id", "lang")
+    p = full_plan(q)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {"doc_id", "lang"}
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from pyspark_codesearch.operators.relational import revenue_by_nation
+
+    p = plan_str(revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastHashJoin") >= 2  # customer + nation
+
+
+def test_bm25_plan_shape(spark, index_dir):
+    # exact scorer: heap top-k + broadcast + codegen
+    docs = ingest(corpus_df(spark, 200, seed=9))
+    from pyspark_codesearch.indexing import (
+        build_postings,
+        build_term_stats,
+        corpus_stats,
+    )
+
+    po = build_postings(docs)
+    q = bm25_topk(po, docs.select("doc_id", "doc_len"), build_term_stats(po),
+                  corpus_stats(docs), "parse json string", 10)
+    q.collect()  # AQE: codegen spans appear only in the FINAL plan
+    p = plan_str(q)
+    assert "TakeOrderedAndProject" in p, "top-k must be heap-based, not global sort"
+    # '*(N)' operator prefixes mark WholeStageCodegen spans in compact form
+    assert re.search(r"\*\(\d+\) (HashAggregate|Project)", p), "scoring must be codegen'd"
+    assert FORBIDDEN not in p
+    assert "BroadcastHashJoin" in p  # query terms broadcast into postings
+
+
+def test_arrow_udf_nodes_are_vectorized(spark, sf_dir):
+    from pyspark_codesearch.operators.textstats import token_counts
+
+    p = plan_str(token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    assert "ArrowEvalPython" in p  # pandas UDF, Arrow-batched
+    assert FORBIDDEN not in p

@@ -14,6 +14,7 @@ from pyspark_codesearch.codecs import delta_decode, varbyte_decode
 from pyspark_codesearch.corpus import corpus_df, ingest
 from pyspark_codesearch.indexing import (
     build_postings,
+    build_postings_with_dl,
     build_segments,
     build_term_stats,
     corpus_stats,
@@ -30,14 +31,14 @@ SALT_RANGE = 64  # small so salting actually splits the corpus
 def env(spark):
     docs = ingest(corpus_df(spark, N_DOCS, seed=7)).cache()
     postings = build_postings(docs).cache()
+    postings_dl = build_postings_with_dl(docs).cache()
     stats = corpus_stats(docs)
     doc_lens = docs.select("doc_id", "doc_len").cache()
-    segments = build_segments(
-        postings, doc_lens, stats, salt_range=SALT_RANGE
-    ).cache()
+    segments = build_segments(postings_dl, stats, salt_range=SALT_RANGE).cache()
     return {
         "docs": docs,
         "postings": postings,
+        "postings_dl": postings_dl,
         "stats": stats,
         "doc_lens": doc_lens,
         "segments": segments,
@@ -84,26 +85,19 @@ def test_segment_block_invariants(env):
 def test_salting_invariance(env):
     """salted output must decode byte-identically to a single-salt build
     (SURVEY §7 hard parts)."""
-    unsalted = build_segments(
-        env["postings"], env["doc_lens"], env["stats"], salt_range=1 << 40
-    )
+    unsalted = build_segments(env["postings_dl"], env["stats"], salt_range=1 << 40)
     assert _decode_all(unsalted.collect()) == _decode_all(env["segments"].collect())
 
 
-def test_df_consistent_across_salts(env):
-    bad = (
-        env["segments"]
-        .groupBy("term")
-        .agg(F.countDistinct("df").alias("n"))
-        .filter(F.col("n") > 1)
-        .count()
-    )
-    assert bad == 0
-    # df equals the true document frequency
+def test_segment_doc_counts_match_df(env):
+    # sum of per-block n_docs per term == true document frequency
     true_df = {r["term"]: r["df"] for r in env["term_stats"].collect()}
     seg_df = {
-        r["term"]: r["df"]
-        for r in env["segments"].select("term", "df").distinct().collect()
+        r["term"]: r["n"]
+        for r in env["segments"]
+        .groupBy("term")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
     }
     assert seg_df == true_df
 
@@ -125,7 +119,8 @@ def test_wand_rank_identity(env, oracle_ix, query, k):
         env["postings"], env["doc_lens"], env["term_stats"], env["stats"], query, k
     ).collect()
     wand = wand_topk(
-        env["segments"], env["doc_lens"], env["stats"], query, k, salt_range=SALT_RANGE
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+        query, k, salt_range=SALT_RANGE,
     ).collect()
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact], query
     for w, e in zip(wand, exact):
@@ -140,3 +135,25 @@ def test_wand_rank_identity(env, oracle_ix, query, k):
 def oracle_ix(env):
     rows = env["docs"].select("doc_id", "content").collect()
     return OracleIndex({r["doc_id"]: r["content"] for r in rows})
+
+
+def test_wand_batch_matches_single(env):
+    from pyspark_codesearch.wand import wand_topk_batch
+
+    qmap = {"a": "parse json string", "b": "merge sort index", "c": "zzznotaterm"}
+    batch = wand_topk_batch(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+        qmap, 5, salt_range=SALT_RANGE,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qmap.items():
+        single = wand_topk(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            q, 5, salt_range=SALT_RANGE,
+        ).collect()
+        got = by_q.get(qid, [])
+        assert [d for d, _ in got] == [r["doc_id"] for r in single], qid
+        for (_, s), r in zip(got, single):
+            assert s == pytest.approx(r["score"], abs=1e-9)

@@ -1,0 +1,110 @@
+"""Structured Streaming incremental index + multimodal plumbing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_codesearch.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from pyspark_codesearch.streaming import incremental_index, windowed_event_counts
+
+
+def test_incremental_index_exactly_once(spark, tmp_path, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    docs.filter(F.col("doc_id") < 100).write.parquet(in_dir)
+
+    incremental_index(spark, in_dir, out_dir)
+    d1 = spark.read.parquet(f"{out_dir}/docs_delta")
+    assert d1.count() == 100
+
+    # drain again with NO new files: checkpoint must prevent re-ingest
+    incremental_index(spark, in_dir, out_dir)
+    assert spark.read.parquet(f"{out_dir}/docs_delta").count() == 100
+
+    # add new files -> only the delta is processed
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_index(spark, in_dir, out_dir)
+    assert spark.read.parquet(f"{out_dir}/docs_delta").count() == 150
+    # postings delta agrees with batch tokenizer on a sample doc
+    p = spark.read.parquet(f"{out_dir}/postings_delta")
+    from pyspark_codesearch.analysis import tokenize_py
+    from collections import Counter
+
+    row = docs.filter(F.col("doc_id") == 7).collect()[0]
+    exp = Counter(tokenize_py(row["text"]))
+    got = {
+        r["term"]: r["tf"]
+        for r in p.filter(F.col("doc_id") == 7).collect()
+    }
+    assert got == dict(exp)
+
+
+def test_windowed_event_counts_stream(spark, sf_dir, tmp_path):
+    # run the windowed agg over a file stream of the events table
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT sum(cnt) AS n FROM wincounts").collect()[0]["n"]
+    # append mode emits only windows older than the watermark; the tail
+    # windows are withheld, so strictly fewer-or-equal events than total
+    total = events.count()
+    assert got is not None and 0 < got <= total
+    # batch equivalent for the emitted windows matches exactly
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bm = {
+        (r["window"]["start"], r["event_type"]): r["cnt"] for r in batch.collect()
+    }
+    for r in spark.sql("SELECT * FROM wincounts").collect():
+        assert bm[(r["window_start"], r["event_type"])] == r["cnt"]
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media(spark, 32)
+    feats = extract_features(media).collect()
+    assert len(feats) == 32
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(r["decode_status"] == "fake" for r in feats)
+    assert all(len(r["feat"]) == 8 for r in feats)
+    # sha16 matches payload hash
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in by_id.items():
+        assert r["sha16"] == hashlib.sha256(payloads[mid]).hexdigest()[:16]
+    # deterministic across runs
+    feats2 = {r["media_id"]: r["feat"] for r in extract_features(media).collect()}
+    assert all(feats2[m] == by_id[m]["feat"] for m in feats2)
+
+
+def test_media_real_decoder_is_gated(spark):
+    media = synth_media(spark, 6)
+    rows = extract_features(media, fake_decode=False).collect()
+    assert all(r["decode_status"] == "decoder_unavailable" for r in rows)
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, 30)
+    frames = frame_sample_plan(media, every_n=10)
+    rows = frames.collect()
+    assert all("_" in r["frame_id"] for r in rows)
+    videos = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == videos
