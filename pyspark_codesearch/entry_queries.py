@@ -176,6 +176,79 @@ def longest_docs_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- multi-field best_fields BM25
+
+
+def _bestfields_sql(query: str, k: int, title_boost: float, body_boost: float) -> str:
+    """DuckDB oracle for multi_match best_fields over two derived fields
+    (title = first 80 chars, body = full text), per-field statistics,
+    score = max(boost_f * BM25_f) — SURVEY §2.5 SC1 semantics."""
+    from collections import Counter
+
+    from .analysis import tokenize_py
+
+    qterms = Counter(tokenize_py(query))
+    qvals = ", ".join(f"('{t}', {float(c)})" for t, c in sorted(qterms.items()))
+
+    def field_cte(fname, expr):
+        toks = duckdb_tokens_expr(expr)
+        return f"""
+{fname}_tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+{fname}_lens AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl FROM {fname}_tok WHERE len(toks) > 0
+),
+{fname}_stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM {fname}_lens),
+{fname}_tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM {fname}_tok) GROUP BY doc_id, term
+),
+{fname}_df AS (SELECT term, count(*)::DOUBLE AS df FROM {fname}_tf GROUP BY term),
+{fname}_score AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM {fname}_tf tf
+  JOIN q USING (term) JOIN {fname}_df d USING (term)
+  JOIN {fname}_lens l ON tf.doc_id = l.doc_id CROSS JOIN {fname}_stats s
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH q(term, qtf) AS (VALUES {qvals}),
+{field_cte("t1", "substring(text, 1, 80)")},
+{field_cte("t2", "text")},
+best AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         greatest(coalesce({title_boost} * a.score, -1e300),
+                  coalesce({body_boost} * b.score, -1e300)) AS score
+  FROM t1_score a FULL OUTER JOIN t2_score b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM best ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("bm25_bestfields_multifield", _bestfields_sql("table scan merge join", 20, 3.0, 1.0))
+def bm25_bestfields_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields over derived (title, body) fields."""
+    from .search import MultiFieldIndex
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("title"),
+        F.col("text").alias("body"),
+    )
+    ix = MultiFieldIndex.build(docs, "doc_id", ["title", "body"])
+    out = ix.best_fields_scores("table scan merge join", {"title": 3.0, "body": 1.0})
+    return (
+        out.select(F.col("id").cast("long").alias("doc_id"), F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------ dedup family
 
 from .operators import dedup as _dd  # noqa: E402
@@ -281,6 +354,93 @@ register("rel_events_json_agg", _rel.EVENTS_JSON_AGG_SQL)(_rel.events_json_agg)
 register("rel_distinct_users_daily", _rel.DISTINCT_USERS_DAILY_SQL)(_rel.distinct_users_daily)
 register("rel_orders_latest_per_customer", _rel.ORDERS_LATEST_SQL)(_rel.orders_latest_per_customer)
 register("rel_approx_distinct_users")(_rel.approx_distinct_users)  # rows-only
+
+
+# ------------------------------------------- misc §2 operator parity entries
+
+
+@register(
+    "f_regexp_extract_source",
+    """SELECT doc_id, CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+              upper(lang) AS lang_u
+       FROM documents ORDER BY doc_id""",
+)
+def f_regexp_extract_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5/F6-style regexp_extract + F18 case transform
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("src_num"),
+            F.upper("lang").alias("lang_u"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "f_stitch_texts_by_source",
+    """SELECT source, string_agg(text, ' ' ORDER BY doc_id) AS full_text,
+              count(*) AS n_docs
+       FROM documents GROUP BY source ORDER BY source""",
+)
+def f_stitch_texts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F16 detail-stitch: deterministic ordered group-concat
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("full_text"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "p_isin_and_range_filter",
+    """SELECT event_id, user_id, event_type, value FROM events
+       WHERE event_type IN ('click', 'purchase') AND value BETWEEN 50 AND 150
+       ORDER BY event_id""",
+)
+def p_isin_and_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P10 membership + P8 range + P3 projection (scan-level pruning)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("value").between(50, 150))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "d_dropdup_keep_first",
+    """SELECT lang, source, doc_id FROM (
+         SELECT lang, source, doc_id,
+                row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+         FROM documents) t
+       WHERE rn = 1 ORDER BY lang, source""",
+)
+def d_dropdup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D1: deterministic keep-first dedup (dropDuplicates semantics pinned
+    # via explicit window; plain dropDuplicates keeps an arbitrary row)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_id")
+        .orderBy("lang", "source")
+    )
 
 
 @register(

@@ -45,3 +45,8 @@ def ensure_py_files(spark: SparkSession) -> None:
         return
     sc.addPyFile(build_zip())
     setattr(sc, _SENTINEL, True)
+
+
+if __name__ == "__main__":
+    # `python -m pyspark_codesearch.pyfiles` -> pyspark_codesearch.zip in cwd
+    print(build_zip(os.path.join(os.getcwd(), "pyspark_codesearch.zip")))
