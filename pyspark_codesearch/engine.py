@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from .analysis import duckdb_tokens_expr, tokenize_py
 from .corpus import ingest_documents_table
-from .indexing import B, K1, CorpusStats, build_postings, build_term_stats, corpus_stats
+from .indexing import B, K1, CorpusStats, build_term_stats, corpus_stats
 from .scoring import bm25_topk
 
 
@@ -26,7 +26,10 @@ class DocumentsEngine:
         ensure_py_files(spark)  # executors need the package for pandas UDFs
         self.spark = spark
         self.docs = ingest_documents_table(spark, sf_dir).cache()
-        self.postings = build_postings(self.docs).cache()
+        # dl-carrying postings: queries skip the doc_lens join entirely
+        from .indexing import build_postings_with_dl
+
+        self.postings = build_postings_with_dl(self.docs).cache()
         self.doc_lens = self.docs.select("doc_id", "doc_len").cache()
         self.term_stats = build_term_stats(self.postings)
         self.stats: CorpusStats = corpus_stats(self.docs)

@@ -50,15 +50,19 @@ def bm25_topk(
     qterms = Counter(tokenize_py(query))
     if not qterms:
         return spark.createDataFrame([], "doc_id long, score double")
-    qdf = spark.createDataFrame(
-        [(t, float(c)) for t, c in qterms.items()], "term string, qtf double"
-    )
+    # term-dictionary seek on the driver: df for the handful of query
+    # terms, folded into ONE broadcast (saves a second join per query)
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in term_stats.filter(F.col("term").isin(list(qterms))).collect()
+    }
+    rows = [(t, float(c), dfs[t]) for t, c in qterms.items() if t in dfs]
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qdf = spark.createDataFrame(rows, "term string, qtf double, df double")
     # broadcast tiny query-term set into the postings scan; Catalyst pushes
     # the term IN-filter down to the parquet scan of a materialized index
     matched = postings.join(F.broadcast(qdf), "term")
-    matched = matched.join(
-        F.broadcast(qdf.join(term_stats, "term")).select("term", "df"), "term"
-    )
     if "dl" not in postings.columns:  # postings_with_dl skips the join
         matched = matched.join(
             doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"

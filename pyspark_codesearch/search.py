@@ -268,17 +268,20 @@ class SearchService:
                 )
         hits = sum_should_clauses(clauses)
         grouped = group_best_chunk(hits, self.chunks, size)
+        meta_cols = [
+            c
+            for c in ("title", "authors", "abstract", "publish_date", "categories")
+            if c in self.papers.columns
+        ]
         enriched = grouped.join(
-            F.broadcast(
-                self.papers.select(
-                    "paper_id", "title", "authors", "abstract", "publish_date", "categories"
-                )
-            ),
+            F.broadcast(self.papers.select("paper_id", *meta_cols)),
             "paper_id",
             "left",
         )
         # post-filters (P7-P9) AFTER group-prune: rank parity with reference
         if author:
+            if "authors" not in meta_cols:
+                return enriched.limit(0)
             enriched = enriched.filter(
                 F.lower(F.array_join("authors", " ")).contains(author.lower())
             )
