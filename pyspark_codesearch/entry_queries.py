@@ -249,6 +249,126 @@ def bm25_bestfields_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- hybrid + normalize + page
+
+_HYBRID_QUERY = "window agg stream dup"
+
+
+def _hybrid_sql(query: str, k: int) -> str:
+    """bool should-sum (SC4): 0.3 * BM25 + 1.0 * (cosine(query_vec=vec of
+    doc 0) + 1) — hybrid mode (SC5) with embeddings joined on doc_id."""
+    bm25 = bm25_oracle_sql(query, k=10**9, round_to=12)
+    # strip the oracle's own ordering/limit/rounding; reuse its scored set
+    bm25_cte = bm25[: bm25.index("SELECT doc_id, round(score,")].rstrip().rstrip(",")
+    return f"""{bm25_cte},
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(e.embedding, qv.v),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv.v, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM embeddings e, qv
+),
+hybrid AS (
+  SELECT cos.doc_id,
+         coalesce(0.3 * scored.score, 0.0) + (cos.c + 1.0) AS score
+  FROM cos LEFT JOIN scored ON cos.doc_id = scored.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM hybrid ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("hybrid_bm25_cosine_topk", _hybrid_sql(_HYBRID_QUERY, 20))
+def hybrid_bm25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid mode: BM25 clause (boost 0.3) + cosine clause, should-sum."""
+    from .operators.simsearch import _dot, _norm
+
+    eng = documents_engine(spark, sf_dir)
+    bm25 = eng.search(_HYBRID_QUERY, k=10**9).withColumnRenamed("score", "b")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv_arr = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = F.array(*[F.lit(float(x)) for x in qv_arr])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qd = F.transform(qv, lambda x: x)
+    cos = _dot(v, qd) / (_norm(v) * _norm(qd))
+    cdf = emb.select(F.col("vec_id").alias("doc_id"), (cos + F.lit(1.0)).alias("c"))
+    out = (
+        cdf.join(bm25, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.lit(0.3) * F.col("b"), F.lit(0.0)) + F.col("c"), 4).alias("score"),
+        )
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "sc6_minmax_normalized_topk",
+    f"""
+WITH ranked AS ({bm25_oracle_sql(_HYBRID_QUERY, 20, round_to=12)}),
+ext AS (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM ranked)
+SELECT doc_id,
+       CASE WHEN mx = mn THEN 1.0 ELSE round((score - mn) / (mx - mn), 6) END AS norm
+FROM ext ORDER BY norm DESC, doc_id ASC
+""",
+)
+def sc6_minmax_normalized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC6 min-max normalization over the returned result list."""
+    from .search import minmax_normalize
+
+    eng = documents_engine(spark, sf_dir)
+    top = eng.search(_HYBRID_QUERY, k=20, round_to=12)
+    return (
+        minmax_normalize(top)
+        .select("doc_id", F.col("score").alias("norm"))
+        .orderBy(F.desc("norm"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "t4_offset_pagination",
+    """SELECT doc_id, n_chars FROM (
+         SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+         FROM documents) t
+       WHERE rn > 10 AND rn <= 20 ORDER BY rn""",
+)
+def t4_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+        .orderBy("rn")
+        .drop("rn")
+    )
+
+
+@register(
+    "rel_hourly_event_windows",
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+              count(*) AS cnt, round(sum(value), 2) AS total_value
+       FROM events GROUP BY window_start, event_type
+       ORDER BY window_start, event_type""",
+)
+def rel_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (the batch shape of streaming.windowed_event_counts)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "cnt", "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 # ------------------------------------------------------------ dedup family
 
 from .operators import dedup as _dd  # noqa: E402
@@ -315,6 +435,30 @@ FROM scored ORDER BY c DESC, vec_id ASC LIMIT 20
 def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _ss.cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+# full-probe IVF is lossless -> same oracle as brute force; this checks
+# the coarse-quantizer assign + semi-join machinery end to end
+register("simsearch_ivf_fullprobe", ORACLE_SQL["simsearch_cosine_topk"])(
+    lambda spark, sf_dir: _ss.ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _query_vec(spark, sf_dir), k=20, n_cells=8, n_probe=8,
+    )
+)
+
+# lossy ANN paths: rows-only driver check; recall floors pinned in pytest
+register("simsearch_ann_lsh")(
+    lambda spark, sf_dir: _ss.ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _query_vec(spark, sf_dir), k=20, multiprobe=1,
+    )
+)
+register("simsearch_ann_ivf")(
+    lambda spark, sf_dir: _ss.ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _query_vec(spark, sf_dir), k=20, n_cells=8, n_probe=3,
+    )
+)
 
 
 # ---------------------------------------------------------- text analysis

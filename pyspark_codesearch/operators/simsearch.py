@@ -124,6 +124,72 @@ def ann_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid assignment, JVM-side.
+
+    IVF coarse quantizer: cells = argmin over the (broadcast-literal)
+    centroid list of squared L2 distance. At scale, write the table
+    partitioned by ``cell`` so probes become partition-pruned reads.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = []
+    for ci, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, cv, lambda a, b_: (a - b_) * (a - b_)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+    best = F.array_min(F.array(*dists))
+    return embeddings.select(F.col(id_col).alias("vec_id"), best["c"].alias("cell"))
+
+
+def deterministic_centroids(
+    embeddings: DataFrame, n_cells: int, vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the n_cells lowest-id vectors.
+
+    (A k-means refinement plugs in here; determinism matters more than
+    centroid quality for the correctness contract — recall floors are
+    pinned by tests either way.)"""
+    rows = embeddings.orderBy("vec_id").limit(n_cells).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the n_probe cells nearest to the query, exact
+    cosine re-rank on candidates only. Lossy (recall pinned by tests)."""
+    if centroids is None:
+        centroids = deterministic_centroids(embeddings, n_cells, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
+    probes = [int(i) for i in order[:n_probe]]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probe_ids = assigned.filter(F.col("cell").isin(probes)).select(
+        F.col("vec_id").alias("_probe_id")
+    )
+    cands = embeddings.join(
+        probe_ids, F.col(id_col) == F.col("_probe_id"), "leftsemi"
+    )
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -107,3 +107,18 @@ def test_embedding_near_dup_pairs(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(vectors, dim=64, threshold=0.9).collect()}
     assert (100, 101) in pairs and (100, 102) in pairs
     assert all(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_ivf_topk_recall(vectors):
+    from pyspark_codesearch.operators.simsearch import ivf_topk
+
+    q_row = vectors.filter(F.col("vec_id") == 100).collect()[0]
+    q = [float(x) for x in q_row["embedding"]]
+    brute = [r["vec_id"] for r in cosine_topk(vectors, q, k=5).collect()]
+    ann = [r["vec_id"] for r in ivf_topk(vectors, q, k=5, n_cells=8, n_probe=3).collect()]
+    recall = len(set(brute) & set(ann)) / 5
+    assert 100 in ann, "query's own vector must be found"
+    assert recall >= 0.6, (brute, ann)
+    # full probe == brute force (lossless when probing every cell)
+    full = [r["vec_id"] for r in ivf_topk(vectors, q, k=5, n_cells=8, n_probe=8).collect()]
+    assert full == brute
