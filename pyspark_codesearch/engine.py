@@ -54,11 +54,13 @@ class DocumentsEngine:
         return out
 
     def search_wand(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
-        from .wand import wand_topk
+        from .wand import prepare_lens_by_salt, wand_topk
 
+        if not hasattr(self, "_lens_by_salt"):
+            self._lens_by_salt = prepare_lens_by_salt(self.doc_lens, self.SALT_RANGE)
         out = wand_topk(
             self.segments, self.doc_lens, self.term_stats, self.stats, query, k,
-            salt_range=self.SALT_RANGE,
+            salt_range=self.SALT_RANGE, lens_by_salt=self._lens_by_salt,
         )
         if round_to is not None:
             out = out.select("doc_id", F.round("score", round_to).alias("score"))

@@ -486,6 +486,34 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.token_counts(_docs(spark, sf_dir))
 
 
+# -------------------------------------------- rows-only pipeline surfaces
+
+
+@register("chunker_1_to_n")  # chunker semantics pinned by pytest oracle
+def chunker_1_to_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .chunker import chunk_docs
+
+    return (
+        chunk_docs(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 50),
+            id_col="doc_id", text_col="text", chunk_size=30, chunk_overlap=5,
+        )
+        .select("id", "chunk_index", "doc_id", "token_count", "chunk_start", "chunk_end")
+        .orderBy("id", "chunk_index")
+    )
+
+
+@register("multimodal_features")  # deterministic fake decode; pytest-pinned
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_features, synth_media
+
+    return (
+        extract_features(synth_media(spark, 64))
+        .select("media_id", "kind", "n_bytes", "sha16", "decode_status")
+        .orderBy("media_id")
+    )
+
+
 # ------------------------------------------------------- relational suite
 
 from .operators import relational as _rel  # noqa: E402
@@ -501,6 +529,137 @@ register("rel_approx_distinct_users")(_rel.approx_distinct_users)  # rows-only
 
 
 # ------------------------------------------- misc §2 operator parity entries
+
+
+@register(
+    "p5_token_set_overlap",
+    f"""SELECT doc_id FROM documents
+        WHERE len(list_intersect({duckdb_tokens_expr('text')}, ['dup', 'spark'])) > 0
+        ORDER BY doc_id""",
+)
+def p5_token_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5: set-overlap filter (arrays_overlap over analyzer tokens)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.arrays_overlap(tokens_col("text"), F.array(F.lit("dup"), F.lit("spark"))))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "p6_keyword_regex_counts",
+    r"""SELECT lang, count(*) AS cnt FROM documents
+        WHERE regexp_matches(text, '\b(dup|merge|window)\b')
+        GROUP BY lang ORDER BY lang""",
+)
+def p6_keyword_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P6: word-boundary keyword regex predicate
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").rlike(r"\b(dup|merge|window)\b"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "a5_a7_events_per_user",
+    """SELECT user_id, count(*) AS n_events,
+              round(count(*) * 1.0 / (SELECT count(DISTINCT user_id) FROM events), 4)
+                  AS share_of_avg_base
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def a5_a7_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 value_count per group + A7 derived-average arithmetic
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("share_of_avg_base", F.round(F.col("n_events") / F.lit(n_users), 4))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "d3_union_distinct",
+    """SELECT doc_id FROM (
+         SELECT doc_id FROM documents WHERE doc_id < 120
+         UNION SELECT doc_id FROM documents WHERE doc_id BETWEEN 100 AND 180
+       ) ORDER BY doc_id""",
+)
+def d3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") < 120).select("doc_id")
+    b = d.filter(F.col("doc_id").between(100, 180)).select("doc_id")
+    return a.union(b).distinct().orderBy("doc_id")
+
+
+@register(
+    "d4_array_distinct_tokens",
+    f"""SELECT doc_id, list_sort(list_distinct({duckdb_tokens_expr('text')})) AS uniq_tokens
+        FROM documents WHERE doc_id < 25 ORDER BY doc_id""",
+)
+def d4_array_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D4 (sorted: Spark array_distinct keeps first-occurrence order,
+    # DuckDB list_distinct does not — sort both for a stable compare)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 25)
+        .select("doc_id", F.array_sort(F.array_distinct(tokens_col("text"))).alias("uniq_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t5_recency_nulls_last",
+    """SELECT event_id, capped FROM (
+         SELECT event_id, CASE WHEN value > 190 THEN NULL ELSE value END AS capped
+         FROM events)
+       ORDER BY capped DESC NULLS LAST, event_id ASC LIMIT 15""",
+)
+def t5_recency_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5: desc_nulls_last top-n
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    capped = F.when(F.col("value") > 190, F.lit(None)).otherwise(F.col("value"))
+    return (
+        ev.select("event_id", capped.alias("capped"))
+        .orderBy(F.desc_nulls_last("capped"), F.asc("event_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "s9_point_lookup",
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def s9_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S9: point lookup by id (predicate pushdown to the scan)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "s3_from_json_struct",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+       FROM events WHERE event_id < 200 ORDER BY event_id""",
+)
+def s3_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S3-adjacent: semi-structured JSON -> typed struct via from_json
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.from_json(F.col("props"), "k int")["k"].alias("k"),
+        )
+        .orderBy("event_id")
+    )
 
 
 @register(

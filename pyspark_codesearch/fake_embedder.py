@@ -45,3 +45,28 @@ def embed_pandas(texts, dim: int = DIM):
 
 def cosine_py(a, b) -> float:
     return float(np.dot(np.asarray(a), np.asarray(b)))
+
+
+def embed_texts(df, text_col: str = "text", out_col: str = "embedding", dim: int = DIM):
+    """Distributed embedding via mapInPandas (iterator-of-batches).
+
+    The Spark shape of the reference's batch-32 BGE embedder
+    (bge_embedder.py:52-120): per-partition setup happens ONCE (where a
+    real model would load), then Arrow batches stream through. Swapping
+    the hashing encoder for a torch model changes only the setup line.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out_col} array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition setup (model load) would go here
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = embed_pandas(pdf[text_col], dim)
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -127,6 +127,30 @@ def _score_salt(
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
 
 
+def prepare_lens_by_salt(doc_lens: DataFrame, salt_range: int) -> DataFrame:
+    """doc_lens pre-partitioned by salt, cached: the lens side of every
+    query's cogroup then arrives already hash-partitioned on the group
+    key, so repeated queries skip re-shuffling the (corpus-sized) doc
+    length table — only term-pruned segments move per query.
+
+    (Production analogue: store doc_lens bucketed by salt next to the
+    segments; here the cached InMemoryRelation preserves the
+    HashPartitioning so Catalyst elides the exchange.)"""
+    return (
+        doc_lens.withColumn("salt", (F.col("doc_id") / F.lit(salt_range)).cast("int"))
+        .repartition("salt")
+        .cache()
+    )
+
+
+def _lens(doc_lens: DataFrame, lens_by_salt: DataFrame | None, salt_range: int) -> DataFrame:
+    if lens_by_salt is not None:
+        return lens_by_salt
+    return doc_lens.withColumn(
+        "salt", (F.col("doc_id") / F.lit(salt_range)).cast("int")
+    )
+
+
 def wand_topk(
     segments: DataFrame,
     doc_lens: DataFrame,
@@ -138,6 +162,7 @@ def wand_topk(
     salt_range: int = 1 << 20,
     k1: float = K1,
     b: float = B,
+    lens_by_salt: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) via pruned scoring over compressed segments."""
     spark = segments.sparkSession
@@ -155,9 +180,7 @@ def wand_topk(
         return spark.createDataFrame([], "doc_id long, score double")
     # IN-filter on term is pushed down to the segments parquet scan
     seg = segments.filter(F.col("term").isin(list(qtf)))
-    lens = doc_lens.withColumn(
-        "salt", (F.col("doc_id") / F.lit(salt_range)).cast("int")
-    )
+    lens = _lens(doc_lens, lens_by_salt, salt_range)
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
     def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -182,6 +205,7 @@ def wand_topk_batch(
     salt_range: int = 1 << 20,
     k1: float = K1,
     b: float = B,
+    lens_by_salt: DataFrame | None = None,
 ) -> DataFrame:
     """All queries in ONE cogroup pass: (query_id, rank, doc_id, score).
 
@@ -208,9 +232,7 @@ def wand_topk_batch(
         qid: {t: c for t, c in m.items() if t in dfs} for qid, m in qtfs.items()
     }
     seg = segments.filter(F.col("term").isin(list(dfs)))
-    lens = doc_lens.withColumn(
-        "salt", (F.col("doc_id") / F.lit(salt_range)).cast("int")
-    )
+    lens = _lens(doc_lens, lens_by_salt, salt_range)
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
     def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:

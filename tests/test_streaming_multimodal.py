@@ -108,3 +108,16 @@ def test_frame_sample_plan(spark):
     assert all("_" in r["frame_id"] for r in rows)
     videos = media.filter(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == videos
+
+
+def test_embed_texts_mapinpandas(spark, sf_dir):
+    from pyspark_codesearch.fake_embedder import embed_py, embed_texts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    out = embed_texts(docs, "text").collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["embedding"] == pytest.approx(embed_py(r["text"]), abs=1e-12)
+        # unit norm (or zero for token-free text)
+        n = sum(x * x for x in r["embedding"])
+        assert n == pytest.approx(1.0, abs=1e-9) or n == 0.0
