@@ -58,9 +58,16 @@ class DocumentsEngine:
 
         if not hasattr(self, "_lens_by_salt"):
             self._lens_by_salt = prepare_lens_by_salt(self.doc_lens, self.SALT_RANGE)
+        if not hasattr(self, "_df_lookup"):
+            # resident term dictionary (vocab is tiny here; at corpus
+            # scale keep the filtered-collect path instead)
+            self._df_lookup = {
+                r["term"]: int(r["df"]) for r in self.term_stats.collect()
+            }
         out = wand_topk(
             self.segments, self.doc_lens, self.term_stats, self.stats, query, k,
             salt_range=self.SALT_RANGE, lens_by_salt=self._lens_by_salt,
+            df_lookup=self._df_lookup,
         )
         if round_to is not None:
             out = out.select("doc_id", F.round("score", round_to).alias("score"))

@@ -163,6 +163,7 @@ def wand_topk(
     k1: float = K1,
     b: float = B,
     lens_by_salt: DataFrame | None = None,
+    df_lookup: dict[str, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) via pruned scoring over compressed segments."""
     spark = segments.sparkSession
@@ -170,11 +171,16 @@ def wand_topk(
     if not qtf:
         return spark.createDataFrame([], "doc_id long, score double")
     # df for the handful of query terms: driver-side lookup of the small
-    # side table (the reference's analogue: Lucene term dictionary seek)
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in term_stats.filter(F.col("term").isin(list(qtf))).collect()
-    }
+    # side table (the reference's analogue: Lucene term dictionary seek);
+    # pass df_lookup to skip the per-query collect when the term
+    # dictionary is already resident on the driver
+    if df_lookup is not None:
+        dfs = {t: df_lookup[t] for t in qtf if t in df_lookup}
+    else:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(list(qtf))).collect()
+        }
     qtf = {t: c for t, c in qtf.items() if t in dfs}
     if not qtf:
         return spark.createDataFrame([], "doc_id long, score double")
