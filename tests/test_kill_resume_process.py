@@ -1,0 +1,80 @@
+"""Kill -9 the build mid-flight via the real spark-submit entrypoint,
+then resume and compare against an uninterrupted build (FIXTURES §8,
+north rule checkpoint-resume)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "build_index.py")
+INPUT = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run_build(out_dir, kill_after: float | None = None, timeout=420):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.Popen(
+        [sys.executable, SCRIPT, "--input", INPUT, "--out", out_dir,
+         "--buckets", "4", "--salt-range", "64"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=REPO, env=env, preexec_fn=os.setsid,
+    )
+    if kill_after is not None:
+        deadline = time.time() + timeout
+        # wait for first committed unit, then SIGKILL the whole group
+        while time.time() < deadline:
+            if os.path.exists(os.path.join(out_dir, "_lineage", "postings.json")):
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.5)
+        time.sleep(kill_after)
+        if proc.poll() is None:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            proc.wait(30)
+            return None
+        # finished before we killed it — caller decides
+    out, _ = proc.communicate(timeout=timeout)
+    return out
+
+
+@pytest.mark.slow
+def test_sigkill_and_resume(tmp_path, spark):
+    clean = str(tmp_path / "clean")
+    killed = str(tmp_path / "killed")
+
+    out = _run_build(clean)
+    assert out and json.loads(out.splitlines()[-1])["executed_units"] == 6
+
+    res = _run_build(killed, kill_after=0.5)
+    manifest = os.path.join(killed, "_lineage")
+    if res is not None:
+        pytest.skip("build finished before the kill landed; covered by injected-failure test")
+    committed_before = set(os.listdir(manifest)) if os.path.isdir(manifest) else set()
+    assert len(committed_before) < 6, "kill landed too late to be interesting"
+
+    out2 = _run_build(killed)
+    rec = json.loads(out2.splitlines()[-1])
+    # resumed run executed only what was missing (tmp files from the kill
+    # don't count as committed units)
+    done_units = {f for f in committed_before if f.endswith(".json")}
+    assert rec["executed_units"] <= 6
+    assert rec["executed_units"] >= 6 - len(done_units)
+
+    from pyspark_codesearch.codecs import delta_decode, varbyte_decode
+
+    def decode_dir(d):
+        segs = spark.read.option("basePath", f"{d}/segments").parquet(f"{d}/segments/bucket=*")
+        out = {}
+        for r in sorted(segs.collect(), key=lambda r: (r["term"], r["salt"], r["block_id"])):
+            out.setdefault(r["term"], []).extend(
+                zip(delta_decode(r["doc_ids_enc"]).tolist(), varbyte_decode(r["tfs_enc"]).tolist())
+            )
+        return out
+
+    assert decode_dir(clean) == decode_dir(killed)
