@@ -481,6 +481,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.fingerprint(_docs(spark, sf_dir))
 
 
+@register(
+    "text_token_counts_sql",
+    f"""SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS ws_tokens,
+               len({duckdb_tokens_expr('text')}) AS analyzer_tokens
+        FROM documents ORDER BY doc_id""",
+)
+def text_token_counts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SQL-expressible token counters (whitespace + analyzer)
+    return _ts.token_counts(_docs(spark, sf_dir)).drop("bpe_ish_tokens")
+
+
 @register("text_token_counts")  # BPE-ish counter: python-oracle in pytest
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.token_counts(_docs(spark, sf_dir))
