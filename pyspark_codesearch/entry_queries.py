@@ -374,9 +374,18 @@ def rel_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators import dedup as _dd  # noqa: E402
 
 
-@register("dedup_exact", _dd.exact_duplicates_sql())
+@register(
+    "dedup_exact",
+    _dd.exact_duplicates_sql(
+        f"md5(array_to_string(list_sort(list_distinct({duckdb_tokens_expr('text')})), ' '))"
+    ),
+)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dd.exact_duplicates(_docs(spark, sf_dir))
+    # hash-groupBy exact dedup on the canonical bag-of-words fingerprint
+    # (the raw-text sha256 variant is vacuous on this fixture — zero
+    # byte-identical texts; the BOW key catches the planted 'dup' docs)
+    bow = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col("text")))))
+    return _dd.exact_duplicates(_docs(spark, sf_dir), key=bow)
 
 
 @register("dedup_minhash_lsh_pairs", _dd.minhash_lsh_pairs_sql())

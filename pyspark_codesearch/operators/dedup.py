@@ -36,9 +36,21 @@ CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
 
 
 # ----------------------------------------------------------------- exact
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, canonical_id) for every doc in a >1-sized sha256 group."""
-    h = docs.select(F.col(id_col).alias("doc_id"), F.sha2(text_col, 256).alias("h"))
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key=None,
+) -> DataFrame:
+    """(doc_id, canonical_id) for every doc in a >1-sized hash group.
+
+    ``key`` defaults to sha256(raw text); pass e.g. the bag-of-words
+    fingerprint for canonicalized exact-dedup (same hash-groupBy shape).
+    """
+    h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (key if key is not None else F.sha2(text_col, 256)).alias("h"),
+    )
     w = Window.partitionBy("h")
     return (
         h.withColumn("canonical_id", F.min("doc_id").over(w))
@@ -49,9 +61,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def exact_duplicates_sql(text_col: str = "text") -> str:
+def exact_duplicates_sql(key_sql: str | None = None, text_col: str = "text") -> str:
+    key_sql = key_sql or f"sha256({text_col})"
     return f"""
-WITH h AS (SELECT doc_id, sha256({text_col}) AS h FROM documents),
+WITH h AS (SELECT doc_id, {key_sql} AS h FROM documents),
 g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
              count(*) OVER (PARTITION BY h) AS group_size FROM h)
 SELECT doc_id, canonical_id FROM g WHERE group_size > 1 ORDER BY doc_id
