@@ -88,14 +88,18 @@ def chunk_text_py(
     return out
 
 
-def _emit(out, text, start, index):
+def _emit(out, text, start, index, token_count=None):
+    # greedy-packed chunks carry the RUNNING SUM of per-sentence counts
+    # (the reference emits current_tokens, document_chunker.py — recounting
+    # the joined text diverges when a real tiktoken merges across a join
+    # boundary); only truncated-oversize chunks recount their cut text
     out.append(
         {
             "text": text,
             "start_pos": start,
             "end_pos": start + len(text),
             "chunk_index": index,
-            "token_count": count_tokens(text),
+            "token_count": count_tokens(text) if token_count is None else token_count,
         }
     )
 
@@ -111,7 +115,7 @@ def _pack(text: str, size: int, overlap: int, start_index: int) -> list[dict]:
         st = count_tokens(sent)
         if st > size:
             if cur:
-                _emit(out, " ".join(cur), pos, idx)
+                _emit(out, " ".join(cur), pos, idx, cur_tokens)
                 idx += 1
             truncated = sent[: size * 4]
             # reference position quirk mirrored: the truncated chunk's
@@ -123,7 +127,7 @@ def _pack(text: str, size: int, overlap: int, start_index: int) -> list[dict]:
             pos += len(truncated) + 1
         elif cur_tokens + st > size:
             closed = " ".join(cur)
-            _emit(out, closed, pos, idx)
+            _emit(out, closed, pos, idx, cur_tokens)
             idx += 1
             carry: list[str] = []
             if overlap > 0:
@@ -143,7 +147,7 @@ def _pack(text: str, size: int, overlap: int, start_index: int) -> list[dict]:
             cur.append(sent)
             cur_tokens += st
     if cur:
-        _emit(out, " ".join(cur), pos, idx)
+        _emit(out, " ".join(cur), pos, idx, cur_tokens)
     return out
 
 

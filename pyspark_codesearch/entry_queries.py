@@ -620,16 +620,26 @@ def d3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d4_array_distinct_tokens",
-    f"""SELECT doc_id, list_sort(list_distinct({duckdb_tokens_expr('text')})) AS uniq_tokens
+    f"""SELECT doc_id,
+               array_to_string(list_sort(list_distinct({duckdb_tokens_expr('text')})), ' ')
+                   AS uniq_tokens
         FROM documents WHERE doc_id < 25 ORDER BY doc_id""",
 )
 def d4_array_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D4 (sorted: Spark array_distinct keeps first-occurrence order,
-    # DuckDB list_distinct does not — sort both for a stable compare)
+    # DuckDB list_distinct does not — sort both for a stable compare).
+    # Returned space-joined: the driver's canonicalizer value-hashes via
+    # pandas sort_values, which cannot hash list columns (round-1 crash);
+    # the array-typed variant stays pinned in pytest.
     return (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < 25)
-        .select("doc_id", F.array_sort(F.array_distinct(tokens_col("text"))).alias("uniq_tokens"))
+        .select(
+            "doc_id",
+            F.array_join(F.array_sort(F.array_distinct(tokens_col("text"))), " ").alias(
+                "uniq_tokens"
+            ),
+        )
         .orderBy("doc_id")
     )
 

@@ -124,11 +124,17 @@ def sessionize_events(spark, sf_dir, gap_minutes: int = 30) -> DataFrame:
     with_sid = with_flag.withColumn(
         "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # sum in integer cents: `value` is 2-decimal quantized, and summing
+    # doubles lands exactly on .005 boundaries where Spark's and DuckDB's
+    # different summation orders round apart (round-1 driver mismatch).
+    # bigint cents sum identically everywhere; /100.0 is one exact-rounded
+    # IEEE division of the same integer on both engines.
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         with_sid.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.sum(cents) / F.lit(100.0)).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -151,7 +157,7 @@ sess AS (
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS session_value
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 

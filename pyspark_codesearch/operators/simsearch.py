@@ -42,11 +42,15 @@ def cosine_topk(
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cos = _dot(v, qv) / (_norm(v) * F.lit(qn))
-    out = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        (F.round(cos, round_to) if round_to else cos).alias("cos"),
+    # order on the UNROUNDED cosine (matching every oracle's ORDER BY c),
+    # round only the returned column — rounding before the LIMIT can
+    # admit a different row set at the boundary (round-1 advice)
+    out = embeddings.select(F.col(id_col).alias("vec_id"), cos.alias("_c"))
+    top = out.orderBy(F.desc("_c"), F.asc("vec_id")).limit(k)
+    return top.select(
+        "vec_id",
+        (F.round(F.col("_c"), round_to) if round_to else F.col("_c")).alias("cos"),
     )
-    return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
 def cosine_topk_sql(query_vec: list[float], k: int = 10, round_to: int = 4) -> str:
@@ -107,17 +111,20 @@ def ann_topk(
     seed: int = 977,
     multiprobe: int = 1,
 ) -> DataFrame:
-    """LSH-bucketed ANN: probe query bucket + all 1..multiprobe bit flips,
-    exact cosine on candidates only. At scale the bucket table is written
-    partitioned by bucket -> partition pruning turns probes into a few
-    file reads instead of a corpus scan."""
+    """LSH-bucketed ANN: probe query bucket + every bucket within hamming
+    distance ``multiprobe`` of it, exact cosine on candidates only. At
+    scale the bucket table is written partitioned by bucket -> partition
+    pruning turns probes into a few file reads instead of a corpus scan."""
+    import itertools
+
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qbits = ["1" if float(np.dot(p, query_vec)) >= 0 else "0" for p in planes]
     probes = {"".join(qbits)}
-    if multiprobe >= 1:
-        for i in range(n_planes):
+    for dist in range(1, max(0, int(multiprobe)) + 1):
+        for pos in itertools.combinations(range(n_planes), dist):
             fl = qbits.copy()
-            fl[i] = "0" if fl[i] == "1" else "1"
+            for i in pos:
+                fl[i] = "0" if fl[i] == "1" else "1"
             probes.add("".join(fl))
     bucketed = embeddings.withColumn("bucket", _bucket_col(vec_col, planes))
     cands = bucketed.filter(F.col("bucket").isin(sorted(probes)))
@@ -151,15 +158,40 @@ def ivf_assign(
 
 
 def deterministic_centroids(
-    embeddings: DataFrame, n_cells: int, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    kmeans_iters: int = 3,
 ) -> list[list[float]]:
-    """Deterministic coarse centroids: the n_cells lowest-id vectors.
-
-    (A k-means refinement plugs in here; determinism matters more than
-    centroid quality for the correctness contract — recall floors are
-    pinned by tests either way.)"""
-    rows = embeddings.orderBy("vec_id").limit(n_cells).collect()
-    return [[float(x) for x in r[vec_col]] for r in rows]
+    """Deterministic coarse centroids: seed with the n_cells lowest-id
+    vectors, then refine with ``kmeans_iters`` Lloyd iterations (assign =
+    the same broadcast-literal argmin used at query time, update = one
+    groupBy mean — each iteration is a single distributed agg; empty
+    cells keep their previous centroid so the count stays n_cells).
+    Fully deterministic: seeded start, deterministic assignment ties."""
+    rows = embeddings.orderBy(id_col).limit(n_cells).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in rows]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(max(0, int(kmeans_iters))):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col).withColumnRenamed(
+            "vec_id", "_aid"
+        )
+        joined = embeddings.select(
+            F.col(id_col).alias("_aid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        ).join(assigned, "_aid")
+        # round the means: double avg is partition-combine-order dependent;
+        # 9dp absorbs the ~1e-15 relative jitter so centroids (and thus
+        # cell assignments) are stable across partitionings
+        means = (
+            joined.groupBy("cell")
+            .agg(*[F.round(F.avg(F.col("_v")[i]), 9).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {int(r["cell"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [by_cell.get(ci, c) for ci, c in enumerate(cents)]
+    return cents
 
 
 def ivf_topk(
@@ -176,7 +208,7 @@ def ivf_topk(
     """IVF ANN: probe the n_probe cells nearest to the query, exact
     cosine re-rank on candidates only. Lossy (recall pinned by tests)."""
     if centroids is None:
-        centroids = deterministic_centroids(embeddings, n_cells, vec_col)
+        centroids = deterministic_centroids(embeddings, n_cells, vec_col, id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
     probes = [int(i) for i in order[:n_probe]]

@@ -1,17 +1,21 @@
 """Incremental index maintenance + streaming aggregation.
 
 - :func:`incremental_index` — readStream over a docs parquet directory,
-  tokenize + posting-build per micro-batch (foreachBatch), append to a
+  tokenize + posting-build per micro-batch (foreachBatch), written to a
   postings-delta table. ``Trigger.AvailableNow`` drains everything
   pending then stops: the streaming-native version of the reference's
   resume-from-paper-id batch loop (ingest_papers.py:491-497); the
-  checkpoint dir replaces its manual resume bookkeeping, giving
-  exactly-once per input file.
-  Deterministic doc ids come from the content hash (not an offset), so
-  re-delivery cannot mint new ids — the same idempotency trick as the
-  reference's deterministic ES _id (es_indexer.py:176-179). Compaction
-  of the delta into the base segments reuses the batch builder
-  (lineage.build_index_resumable).
+  checkpoint dir replaces its manual resume bookkeeping.
+  foreachBatch alone is at-least-once — a crash between the delta write
+  and the checkpoint commit re-delivers the batch on restart — so each
+  batch write is made IDEMPOTENT: outputs are partitioned by ``batch_id``
+  with dynamic partition overwrite, and a re-delivered batch (same
+  batch_id, same input files) overwrites its own partition instead of
+  appending duplicates. Doc ids pass through from the input unchanged
+  (they are deterministic at the source — the same idempotency property
+  as the reference's deterministic ES _id, es_indexer.py:176-179).
+  Compaction of the delta into the base segments reuses the batch
+  builder (lineage.build_index_resumable).
 
 - :func:`windowed_event_counts` — watermarked tumbling-window counts
   over the events stream (late data beyond the watermark dropped).
@@ -44,6 +48,7 @@ def incremental_index(
             batch_df.withColumn("sha256", F.sha2("text", 256))
             .withColumn("tokens", tokens_col("text"))
             .withColumn("doc_len", F.size("tokens"))
+            .withColumn("batch_id", F.lit(batch_id))
         )
         postings = (
             ingested.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
@@ -51,8 +56,15 @@ def incremental_index(
             .agg(F.count(F.lit(1)).cast("int").alias("tf"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        postings.write.mode("append").parquet(f"{out_dir}/postings_delta")
-        ingested.drop("tokens").write.mode("append").parquet(f"{out_dir}/docs_delta")
+        # idempotent on re-delivery: overwrite ONLY this batch_id partition
+        # (dynamic mode), so a crash-replayed batch replaces its own output
+        for df, table in ((postings, "postings_delta"), (ingested.drop("tokens"), "docs_delta")):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_dir}/{table}")
+            )
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
