@@ -222,6 +222,49 @@ def ivf_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def similar_vectors(
+    embeddings: DataFrame,
+    ref_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D2 exclude-self similarity: the embeddings-table analogue of
+    find_similar_papers (reference es_search_service.py:416-476) — query
+    vector = the reference row's own embedding, the reference row is
+    excluded, exact cosine top-k, min-max normalized rounded to 6
+    (reference _normalize_scores, :534-578). (vec_id, norm).
+
+    Both norms fold sequentially in index order (F.aggregate == DuckDB
+    list_sum) so scores are bit-identical to the SQL oracle."""
+    from pyspark.sql import Window
+
+    ref = embeddings.filter(F.col(id_col) == ref_id).select(vec_col).collect()
+    if not ref:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], "vec_id long, norm double")
+    qv = F.array(*[F.lit(float(x)) for x in ref[0][vec_col]])
+    qd = F.transform(qv, lambda x: x)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, qd) / (_norm(v) * _norm(qd))
+    top = (
+        embeddings.filter(F.col(id_col) != ref_id)
+        .select(F.col(id_col).alias("vec_id"), cos.alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
+        .limit(k)
+    )
+    w = Window.partitionBy()
+    mn, mx = F.min("_c").over(w), F.max("_c").over(w)
+    return (
+        top.withColumn(
+            "norm",
+            F.when(mx == mn, F.lit(1.0)).otherwise(F.round((F.col("_c") - mn) / (mx - mn), 6)),
+        )
+        .select("vec_id", "norm")
+        .orderBy(F.desc("norm"), F.asc("vec_id"))
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

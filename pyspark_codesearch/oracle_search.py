@@ -81,7 +81,8 @@ class SearchOracle:
         return out
 
     def search(self, query, max_results=10, mode="fulltext", fields=None,
-               author=None, date_from=None, date_to=None, normalize=True):
+               author=None, date_from=None, date_to=None, normalize=True,
+               query_vec=None):
         fields = fields or SERVICE_FIELDS
         size = max_results * 2
         clause_scores: dict[str, float] = {}
@@ -90,7 +91,7 @@ class SearchOracle:
             for i, s in self.best_fields(self.chunk_fields, self.chunks, query, fields).items():
                 clause_scores[i] = clause_scores.get(i, 0.0) + boost * s
         if mode in ("hybrid", "semantic"):
-            qv = embed_py(query)
+            qv = query_vec if query_vec is not None else embed_py(query)
             for i, v in self.chunk_embs.items():
                 clause_scores[i] = clause_scores.get(i, 0.0) + (cosine_py(qv, v) + 1.0)
         # A1 terms agg on paper_id
@@ -130,6 +131,40 @@ class SearchOracle:
             mn, mx = min(scores), max(scores)
             for r in out:
                 r["score"] = 1.0 if mx == mn else round((r["score"] - mn) / (mx - mn), 6)
+        return out
+
+    def find_similar_papers(self, paper_id, max_results=10, normalize=True):
+        """es_search_service.py:416-476 semantics, python-literal."""
+        p = self.papers.get(paper_id)
+        if p is None:
+            return []
+        qv = embed_py(f"{p.title} {p.abstract}")
+        rows = self.search(
+            "", max_results + 5, mode="semantic", normalize=False, query_vec=qv
+        )
+        rows = [r for r in rows if r["paper_id"] != paper_id][:max_results]
+        if normalize and rows:
+            scores = [r["score"] for r in rows]
+            mn, mx = min(scores), max(scores)
+            for r in rows:
+                r["score"] = 1.0 if mx == mn else round((r["score"] - mn) / (mx - mn), 6)
+        return rows
+
+    def get_chunks_for_papers(self, paper_ids, query=None, max_chunks_per_paper=5):
+        """es_search_service.py:339-414 semantics, python-literal."""
+        qterms = Counter(tokenize_py(query)) if query else None
+        out = {}
+        for pid in paper_ids:
+            cs = [c for c in self.chunks.values() if c.paper_id == pid]
+            if qterms:
+                scored = [
+                    (c, self.chunk_fields["chunk_text"].score(c.doc_id, qterms) or 0.0)
+                    for c in cs
+                ]
+                scored.sort(key=lambda x: (-x[1], x[0].chunk_index))
+            else:
+                scored = sorted(((c, 0.0) for c in cs), key=lambda x: x[0].chunk_index)
+            out[pid] = scored[:max_chunks_per_paper]
         return out
 
     def search_papers(self, query, max_results=10, fields=None):

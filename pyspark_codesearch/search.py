@@ -315,6 +315,65 @@ class SearchService:
             .limit(max_results)
         )
 
+    def find_similar_papers(
+        self, paper_id: str, max_results: int = 10, normalize: bool = True
+    ) -> DataFrame:
+        """Semantic similar-papers (D2 exclude-self; es_search_service.py
+        :416-476): embed the reference paper's ``title + ' ' + abstract``,
+        semantic-only chunk search over-fetched by +5, drop the reference
+        paper itself, truncate to max_results, min-max normalize."""
+        ref = (
+            self.papers.filter(F.col("paper_id") == paper_id)
+            .select("title", "abstract")
+            .collect()
+        )
+        if not ref:
+            return self.search("", max_results, mode="semantic").limit(0)
+        from .fake_embedder import embed_py
+
+        query_vec = embed_py(f"{ref[0]['title']} {ref[0]['abstract']}")
+        out = self.search(
+            "", max_results + 5, mode="semantic", normalize=False, query_vec=query_vec
+        )
+        out = (
+            out.filter(F.col("paper_id") != paper_id)
+            .orderBy(F.desc("score"), F.desc("matching_chunks"), F.asc("paper_id"))
+            .limit(max_results)
+        )
+        return minmax_normalize(out) if normalize else out
+
+    def get_chunks_for_papers(
+        self,
+        paper_ids: list[str],
+        query: str | None = None,
+        max_chunks_per_paper: int = 5,
+    ) -> DataFrame:
+        """Per-paper chunk top-k (es_search_service.py:339-414): with a
+        query, each paper's chunks rank by the single-field chunk_text
+        BM25 match (non-matching chunks tie at 0 -> chunk_index order,
+        the observable ES bool must+should semantics); without a query,
+        plain chunk_index ascending. One windowed plan for ALL papers —
+        the reference loops one ES request per paper."""
+        sel = self.chunks.filter(F.col("paper_id").isin(list(paper_ids)))
+        if query:
+            scores = self.chunk_index.best_fields_scores(
+                query, {"chunk_text": 1.0}
+            ).withColumnRenamed("id", "doc_id")
+            sel = sel.join(scores, "doc_id", "left").fillna({"score": 0.0})
+            w = Window.partitionBy("paper_id").orderBy(
+                F.desc("score"), F.asc("chunk_index")
+            )
+        else:
+            sel = sel.withColumn("score", F.lit(0.0))
+            w = Window.partitionBy("paper_id").orderBy(F.asc("chunk_index"))
+        return (
+            sel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_chunks_per_paper)
+            .select("paper_id", "doc_id", "chunk_index", "chunk_text", "score", "_rn")
+            .orderBy("paper_id", "_rn")
+            .drop("_rn")
+        )
+
     def get_paper_details(self, paper_id: str) -> DataFrame:
         """Detail stitch (J2/F16): chunk_index-ordered space-join of chunk
         texts + paper metadata preferred over chunk copies

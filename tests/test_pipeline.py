@@ -59,6 +59,34 @@ def test_ingest_is_idempotent(spark, corpus):
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
 
 
+def test_enrich_with_metadata_coalesce(spark, corpus):
+    """J1 (reference ingest_papers.py:72-129): meta value preferred, regex-
+    extracted value is the fallback when the meta row OR field is missing."""
+    from pyspark_codesearch.pipeline import enrich_with_metadata
+
+    papers, _ = ingest_markdown_corpus(corpus, chunk_size=60, chunk_overlap=10)
+    meta = spark.createDataFrame(
+        [
+            ("2300.10000", "Meta Title 0", None),          # field fallback: abstract
+            ("2301.10001", None, "Meta abstract 1"),       # field fallback: title
+            # 2302.10002 has NO meta row at all: row fallback
+        ],
+        "paper_id string, title string, abstract string",
+    )
+    out = {
+        r["paper_id"]: r
+        for r in enrich_with_metadata(papers, meta, fields=("title", "abstract")).collect()
+    }
+    assert out["2300.10000"]["title"] == "Meta Title 0"
+    assert out["2300.10000"]["abstract"] == "We study transformer attention carefully."
+    assert out["2301.10001"]["title"] == "Paper 1 on graph networks"
+    assert out["2301.10001"]["abstract"] == "Meta abstract 1"
+    assert out["2302.10002"]["title"] == "Paper 2 on query optimization"
+    # the join must broadcast the meta dimension (no shuffle of content)
+    plan = enrich_with_metadata(papers, meta, fields=("title",))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_search_over_ingested(spark, corpus):
     papers, chunks = ingest_markdown_corpus(corpus, chunk_size=60, chunk_overlap=10)
     svc = SearchService(spark, papers.cache(), chunks.cache())

@@ -139,3 +139,52 @@ def test_pagination(svc):
 
 def test_stopword_only_query_empty(svc):
     assert svc.search("the and of", 10, normalize=False).count() == 0
+
+
+def test_find_similar_papers_rank_identity(svc, oracle):
+    """D2: embed title+abstract, semantic-only, exclude self, +5 over-fetch,
+    normalize (reference es_search_service.py:416-476)."""
+    pid = "2301.10000"
+    got = svc.find_similar_papers(pid, 5).collect()
+    exp = oracle.find_similar_papers(pid, 5)
+    assert len(got) > 0, "similar-papers must be non-vacuous on the fixture"
+    assert all(r["paper_id"] != pid for r in got), "self must be excluded"
+    assert [r["paper_id"] for r in got] == [r["paper_id"] for r in exp]
+    for g, e in zip(got, exp):
+        assert g["score"] == pytest.approx(e["score"], abs=1e-6)
+
+
+def test_find_similar_papers_missing_ref(svc):
+    assert svc.find_similar_papers("nope.99999", 5).count() == 0
+
+
+def test_get_chunks_for_papers_with_query(svc, oracle):
+    pids = ["2301.10000", "2301.10003", "2301.10007"]
+    q = "transformer attention mechanism"
+    got = svc.get_chunks_for_papers(pids, query=q, max_chunks_per_paper=3).collect()
+    exp = oracle.get_chunks_for_papers(pids, query=q, max_chunks_per_paper=3)
+    by_pid: dict[str, list] = {}
+    for r in got:
+        by_pid.setdefault(r["paper_id"], []).append(r)
+    assert sorted(by_pid) == sorted(pids)
+    assert any(r["score"] > 0 for r in got), "query must match some chunk"
+    for pid in pids:
+        g = by_pid[pid]
+        e = exp[pid]
+        assert [r["doc_id"] for r in g] == [c.doc_id for c, _ in e]
+        for gr, (_, es) in zip(g, e):
+            assert gr["score"] == pytest.approx(es, abs=1e-9)
+
+
+def test_get_chunks_for_papers_no_query(svc, oracle):
+    pids = ["2301.10000", "2301.10001"]
+    got = svc.get_chunks_for_papers(pids, max_chunks_per_paper=4).collect()
+    exp = oracle.get_chunks_for_papers(pids, max_chunks_per_paper=4)
+    by_pid: dict[str, list] = {}
+    for r in got:
+        by_pid.setdefault(r["paper_id"], []).append(r)
+    for pid in pids:
+        # no query -> chunk_index ascending
+        idxs = [r["chunk_index"] for r in by_pid[pid]]
+        assert idxs == sorted(idxs)
+        assert [r["doc_id"] for r in by_pid[pid]] == [c.doc_id for c, _ in exp[pid]]
