@@ -100,12 +100,14 @@ def corpus_df(spark: SparkSession, n_docs: int = 500, seed: int = 42, n_partitio
 
 def ingest(corpus: DataFrame) -> DataFrame:
     """corpus -> canonical docs(doc_id, repo, path, commit, lang, content,
-    sha256, doc_len, tokens).
+    sha256, doc_len, tokens) with DENSE ids: row_number over (repo, path,
+    commit).
 
-    doc_id must be dense + deterministic: row_number over (repo, path,
-    commit). At 10^12-file scale a global row_number is a single-partition
-    sort bottleneck — there you'd use zipWithIndex-per-partition-offset or
-    (repo-bucket << 40 | local id); semantics here are what the tests pin.
+    A global row_number is a single-partition sort — fine at test scale
+    where tests pin dense-id semantics, a scale-killer at 10^12 files.
+    The production ingest is :func:`ingest_bucketed` (bucket-composed
+    ids, fully parallel); parity between the two is pinned by
+    tests/test_bm25_rank_identity.py::test_bucketed_ingest_rank_parity.
     """
     w = Window.orderBy("repo", "path", "commit")
     toks = tokens_col("content")
@@ -113,6 +115,45 @@ def ingest(corpus: DataFrame) -> DataFrame:
         corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - F.lit(1))
         .withColumn("sha256", F.sha2(F.col("content"), 256))
         .withColumn("tokens", toks)
+        .withColumn("doc_len", F.size("tokens"))
+    )
+
+
+BUCKET_BITS = 40  # local ids live in the low 40 bits: 1T docs per bucket
+
+
+def ingest_bucketed(corpus: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """Scale-safe deterministic doc-id assignment (no global sort).
+
+    bucket = pmod(xxhash64(repo, path), n_buckets); within each bucket a
+    row_number ordered by (repo, path, commit);
+    doc_id = bucket << BUCKET_BITS | (local - 1).
+
+    The window is PARTITIONED by bucket, so the plan is one hash exchange
+    on bucket + per-partition sorts — every executor assigns its buckets'
+    ids independently; no ``Exchange SinglePartition`` anywhere (asserted
+    by tests/test_plan_contracts.py). Ids are unique (buckets are
+    disjoint bit-ranges), deterministic (hash + total order within
+    bucket), and doc-id-RANGE salting still behaves: each bucket's ids
+    form a contiguous run, so a (term, salt) group never straddles
+    buckets for salt_range <= 2^BUCKET_BITS.
+
+    Replaces the reference's sequential lexicographic id loop
+    (ingest_papers.py:457-542) at cluster scale.
+    """
+    w = Window.partitionBy("_bucket").orderBy("repo", "path", "commit")
+    return (
+        corpus.withColumn(
+            "_bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(n_buckets)).cast("long")
+        )
+        .withColumn(
+            "doc_id",
+            F.shiftleft(F.col("_bucket"), BUCKET_BITS)
+            + (F.row_number().over(w).cast("long") - F.lit(1)),
+        )
+        .drop("_bucket")
+        .withColumn("sha256", F.sha2(F.col("content"), 256))
+        .withColumn("tokens", tokens_col("content"))
         .withColumn("doc_len", F.size("tokens"))
     )
 

@@ -41,6 +41,32 @@ class BuildInterrupted(RuntimeError):
     pass
 
 
+def split_quarantine(docs: DataFrame, expected_sha_col: str | None = None):
+    """S8 sink-failure quarantine (reference ingest_papers.py:513-526
+    collects per-paper failures into a failed list; SURVEY §2.1 S8
+    prescribes a per-partition error quarantine table).
+
+    Returns (valid, quarantined) where quarantined carries a ``reason``:
+    null doc_id, null/empty content, or (when ``expected_sha_col`` is
+    given) a content-sha mismatch — the north rule's per-row sha256
+    invariant enforced at ingest. Pure column expressions: the split is
+    two filters over one scan, no shuffle, no driver round-trip."""
+    reason = F.when(F.col("doc_id").isNull(), F.lit("null_doc_id")).when(
+        F.col("content").isNull() | (F.length("content") == 0), F.lit("empty_content")
+    )
+    if expected_sha_col is not None and expected_sha_col in docs.columns:
+        reason = reason.when(
+            F.col(expected_sha_col) != F.sha2(F.col("content"), 256),
+            F.lit("sha_mismatch"),
+        )
+    flagged = docs.withColumn("_qreason", reason)
+    valid = flagged.filter(F.col("_qreason").isNull()).drop("_qreason")
+    quarantined = flagged.filter(F.col("_qreason").isNotNull()).withColumnRenamed(
+        "_qreason", "reason"
+    )
+    return valid, quarantined
+
+
 def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
@@ -90,10 +116,16 @@ def build_index_resumable(
     n_buckets: int = N_BUCKETS,
     salt_range: int = 1 << 20,
     fail_after_units: int | None = None,
+    expected_sha_col: str | None = None,
 ) -> dict:
     """Build the full index under out_dir, unit by unit, skipping
     already-committed units. ``fail_after_units`` injects a crash after N
     newly-executed units (tests only).
+
+    Poison rows (null id / empty content / sha mismatch when
+    ``expected_sha_col`` is set) are diverted to ``{out_dir}/quarantine``
+    with a reason column (S8); the build completes on the valid rows and
+    the quarantine row count is a lineage unit like any other.
 
     Fingerprints: docs stage fingerprints the (deterministic) input via
     count + sha256-xor of content hashes; downstream stages fingerprint
@@ -101,6 +133,7 @@ def build_index_resumable(
     """
     spark = docs.sparkSession
     executed = {"n": 0}
+    docs, quarantined = split_quarantine(docs, expected_sha_col)
 
     def maybe_fail():
         if fail_after_units is not None and executed["n"] >= fail_after_units:
@@ -128,6 +161,14 @@ def build_index_resumable(
         return int(fp_row["n"])
 
     run_unit("docs", docs_fp, do_docs)
+
+    # ---- stage 1b: quarantine table (S8) — poison rows + reason
+    def do_quarantine():
+        q = quarantined.drop("tokens")
+        q.write.mode("overwrite").parquet(f"{out_dir}/quarantine")
+        return q.count()
+
+    run_unit("quarantine", docs_fp, do_quarantine)
 
     # ---- stage 2: bucketed postings (+ doc_lens + stats side tables)
     def do_postings():

@@ -114,6 +114,43 @@ def test_unique_term_exact_hit(engine, oracle):
     assert "uniqterm000007" in top["content"]
 
 
+def test_bucketed_ingest_rank_parity(spark, engine, oracle):
+    """ingest_bucketed (scale-safe ids) must be score-identical to the
+    dense-id ingest: same docs, same tf/dl/df, same BM25 scores — only
+    the id values differ. Verified by mapping ids back to (repo, path)."""
+    from pyspark_codesearch.corpus import BUCKET_BITS, ingest_bucketed
+
+    docs_b = ingest_bucketed(corpus_df(spark, N_DOCS, seed=42), n_buckets=32).cache()
+    # unique ids, bucket-composed
+    n = docs_b.count()
+    assert docs_b.select("doc_id").distinct().count() == n == N_DOCS
+    assert docs_b.filter(F.col("doc_id") < 0).count() == 0
+    # identical (repo, path) -> (sha256, doc_len) mapping as the dense ingest
+    key = ["repo", "path", "commit"]
+    a = {tuple(r[c] for c in key): (r["sha256"], r["doc_len"])
+         for r in engine["docs"].select(*key, "sha256", "doc_len").collect()}
+    b = {tuple(r[c] for c in key): (r["sha256"], r["doc_len"])
+         for r in docs_b.select(*key, "sha256", "doc_len").collect()}
+    assert a == b
+    # BM25 scores per document identical (ids differ; join back to paths).
+    # k = corpus size so tie-breaks at the k boundary cannot differ.
+    po_b = build_postings(docs_b)
+    for query in ["parse json string", "read file buffer", "index"]:
+        got_b = bm25_topk(po_b, docs_b.select("doc_id", "doc_len"),
+                          build_term_stats(po_b), corpus_stats(docs_b), query, N_DOCS)
+        got_a = bm25_topk(engine["postings"], engine["doc_lens"],
+                          engine["term_stats"], engine["stats"], query, N_DOCS)
+        ra = sorted(
+            (tuple(r[c] for c in key), round(r["score"], 9))
+            for r in got_a.join(engine["docs"].select("doc_id", *key), "doc_id").collect()
+        )
+        rb = sorted(
+            (tuple(r[c] for c in key), round(r["score"], 9))
+            for r in got_b.join(docs_b.select("doc_id", *key), "doc_id").collect()
+        )
+        assert ra == rb, query
+
+
 def test_batch_scorer_matches_single(engine):
     from pyspark_codesearch.scoring import bm25_topk_batch
 

@@ -49,22 +49,22 @@ def test_sigkill_and_resume(tmp_path, spark):
     killed = str(tmp_path / "killed")
 
     out = _run_build(clean)
-    assert out and json.loads(out.splitlines()[-1])["executed_units"] == 6
+    assert out and json.loads(out.splitlines()[-1])["executed_units"] == 7
 
     res = _run_build(killed, kill_after=0.5)
     manifest = os.path.join(killed, "_lineage")
     if res is not None:
         pytest.skip("build finished before the kill landed; covered by injected-failure test")
     committed_before = set(os.listdir(manifest)) if os.path.isdir(manifest) else set()
-    assert len(committed_before) < 6, "kill landed too late to be interesting"
+    assert len(committed_before) < 7, "kill landed too late to be interesting"
 
     out2 = _run_build(killed)
     rec = json.loads(out2.splitlines()[-1])
     # resumed run executed only what was missing (tmp files from the kill
     # don't count as committed units)
     done_units = {f for f in committed_before if f.endswith(".json")}
-    assert rec["executed_units"] <= 6
-    assert rec["executed_units"] >= 6 - len(done_units)
+    assert rec["executed_units"] <= 7
+    assert rec["executed_units"] >= 7 - len(done_units)
 
     from pyspark_codesearch.codecs import delta_decode, varbyte_decode
 

@@ -36,15 +36,15 @@ def test_kill_and_resume_identical(spark, docs, tmp_path_factory):
     resumed_dir = str(tmp_path_factory.mktemp("resumed"))
 
     res_clean = build_index_resumable(docs, clean_dir, n_buckets=4)
-    assert res_clean["executed_units"] == 2 + 4  # docs, postings, 4 buckets
+    assert res_clean["executed_units"] == 3 + 4  # docs, quarantine, postings, 4 buckets
 
-    # interrupted run: dies after 3 units (docs, postings, 1 bucket)
+    # interrupted run: dies after 3 units (docs, quarantine, postings)
     with pytest.raises(BuildInterrupted):
         build_index_resumable(docs, resumed_dir, n_buckets=4, fail_after_units=3)
     assert unit_done(resumed_dir, "docs", _fp(resumed_dir))
     # resume: must execute ONLY the remaining units
     res2 = build_index_resumable(docs, resumed_dir, n_buckets=4)
-    assert res2["executed_units"] == 3
+    assert res2["executed_units"] == 4
 
     a = _decode_all(load_segments(spark, clean_dir).collect())
     b = _decode_all(load_segments(spark, resumed_dir).collect())
@@ -71,7 +71,7 @@ def test_fingerprint_invalidation(spark, tmp_path_factory):
     docs_b = ingest(corpus_df(spark, 50, seed=2))
     build_index_resumable(docs_a, d, n_buckets=2)
     res = build_index_resumable(docs_b, d, n_buckets=2)
-    assert res["executed_units"] == 4  # everything re-ran: input changed
+    assert res["executed_units"] == 5  # everything re-ran: input changed
 
 
 def test_metrics_table(spark, docs, tmp_path_factory):
@@ -79,6 +79,50 @@ def test_metrics_table(spark, docs, tmp_path_factory):
     build_index_resumable(docs, d, n_buckets=4)
     m = read_metrics(spark, d)
     rows = {r["unit"]: r for r in m.collect()}
-    assert set(rows) == {"docs", "postings"} | {f"segments/bucket={b}" for b in range(4)}
+    assert set(rows) == {"docs", "quarantine", "postings"} | {
+        f"segments/bucket={b}" for b in range(4)
+    }
     assert all(r["wall_ms"] > 0 for r in rows.values())
     assert rows["docs"]["rows"] == N_DOCS
+    assert rows["quarantine"]["rows"] == 0  # clean fixture
+
+
+def test_quarantine_poison_rows(spark, docs, tmp_path_factory):
+    """S8: poison rows divert to the quarantine table with reasons; the
+    build completes on the valid rows (reference ingest_papers.py:513-526
+    collects per-paper failures instead of aborting the run)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_codesearch.lineage import split_quarantine
+
+    poisoned = (
+        docs.withColumn(
+            "content",
+            F.when(F.col("doc_id") == 3, F.lit(None).cast("string"))
+            .when(F.col("doc_id") == 4, F.lit(""))
+            .when(F.col("doc_id") == 6, F.concat(F.col("content"), F.lit("TAMPERED")))
+            .otherwise(F.col("content")),
+        )
+        .withColumn(
+            "doc_id",
+            F.when(F.col("doc_id") == 5, F.lit(None).cast("long")).otherwise(F.col("doc_id")),
+        )
+    )
+    valid, quarantined = split_quarantine(poisoned, expected_sha_col="sha256")
+    reasons = {r["doc_id"]: r["reason"] for r in quarantined.collect()}
+    assert reasons == {3: "empty_content", 4: "empty_content",
+                       None: "null_doc_id", 6: "sha_mismatch"}
+    assert valid.count() == N_DOCS - 4
+
+    d = str(tmp_path_factory.mktemp("quar"))
+    res = build_index_resumable(poisoned, d, n_buckets=2, expected_sha_col="sha256")
+    assert res["executed_units"] == 5
+    q = spark.read.parquet(f"{d}/quarantine")
+    assert {r["reason"] for r in q.collect()} == {"empty_content", "null_doc_id", "sha_mismatch"}
+    assert q.count() == 4
+    written = spark.read.parquet(f"{d}/docs")
+    assert written.count() == N_DOCS - 4
+    assert written.filter(F.col("doc_id").isin(3, 4, 6)).count() == 0
+    # resume semantics unchanged: second run is a no-op
+    res2 = build_index_resumable(poisoned, d, n_buckets=2, expected_sha_col="sha256")
+    assert res2["executed_units"] == 0

@@ -97,6 +97,19 @@ def test_bm25_plan_shape(spark, index_dir):
     assert "BroadcastHashJoin" in p  # query terms broadcast into postings
 
 
+def test_bucketed_ingest_has_no_single_partition_exchange(spark):
+    """Scale contract: doc-id assignment must never funnel the corpus
+    through one partition. ingest() (dense ids, global row_number) is the
+    test-scale reference and DOES — ingest_bucketed must not."""
+    from pyspark_codesearch.corpus import ingest_bucketed
+
+    raw = corpus_df(spark, 200, seed=9)
+    assert "Exchange SinglePartition" in plan_str(ingest(raw))  # control
+    p = plan_str(ingest_bucketed(raw, n_buckets=32))
+    assert "Exchange SinglePartition" not in p, p
+    assert FORBIDDEN not in p
+
+
 def test_arrow_udf_nodes_are_vectorized(spark, sf_dir):
     from pyspark_codesearch.operators.textstats import token_counts
 
