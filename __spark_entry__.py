@@ -23,11 +23,15 @@ from pyspark_codesearch import entry_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Uses the SCALE path: compressed block-max segments + MaxScore-pruned
+    scoring (rank-identical to the exact scorer — proven by the
+    bm25_wand_* driver entries sharing the exact path's SQL oracle)."""
     from pyspark_codesearch.engine import documents_engine
 
     eng = documents_engine(spark, "/root/testdata/sf0.001")
-    return eng.search("spark filter join query", k=20)
+    return eng.search_wand("spark filter join query", k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -93,16 +93,31 @@ def main():
         for q in BENCH_QUERIES:
             bm25_topk(postings, doc_lens, term_stats, stats, q, 10).collect()
 
-    from pyspark_codesearch.wand import prepare_lens_by_salt
+    from pyspark_codesearch.wand import collect_term_salts, prepare_lens_by_salt
 
     lens_by_salt = prepare_lens_by_salt(doc_lens, salt_range)
     lens_by_salt.count()
+    # resident term dictionary (df + touched salts) — built once with the
+    # index, like Lucene's terms dict; keeps per-query work off the driver
+    df_lookup = {r["term"]: int(r["df"]) for r in term_stats.collect()}
+    salt_lookup = collect_term_salts(segments)
     with timed("wand_batch"):
         for q in BENCH_QUERIES:
             wand_topk(
                 segments, doc_lens, term_stats, stats, q, 10,
                 salt_range=salt_range, lens_by_salt=lens_by_salt,
+                df_lookup=df_lookup, salt_lookup=salt_lookup,
             ).collect()
+
+    from pyspark_codesearch.wand import wand_topk_batch
+
+    with timed("wand_batch_oneplan"):
+        wand_topk_batch(
+            segments, doc_lens, term_stats, stats,
+            {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}, 10,
+            salt_range=salt_range, lens_by_salt=lens_by_salt,
+            df_lookup=df_lookup, salt_lookup=salt_lookup,
+        ).collect()
 
     from pyspark_codesearch.scoring import bm25_topk_batch
 
@@ -145,6 +160,9 @@ def main():
                 "wand_sec_per_query": round(timings["wand_batch"] / len(BENCH_QUERIES), 4),
                 "batch_sec_per_query": round(
                     timings["bm25_batch_oneplan"] / len(BENCH_QUERIES), 4
+                ),
+                "wand_batch_sec_per_query": round(
+                    timings["wand_batch_oneplan"] / len(BENCH_QUERIES), 4
                 ),
                 "cpus": int(cpus),
             }

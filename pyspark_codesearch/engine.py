@@ -53,25 +53,44 @@ class DocumentsEngine:
             out = out.select("doc_id", F.round("score", round_to).alias("score"))
         return out
 
-    def search_wand(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
-        from .wand import prepare_lens_by_salt, wand_topk
+    def _wand_residents(self):
+        """Driver-resident query-time side state: pre-partitioned lens,
+        term->df and term->salts dictionaries (Lucene term-dict analogue;
+        at corpus scale these are filtered lookups, not full collects)."""
+        from .wand import collect_term_salts, prepare_lens_by_salt
 
         if not hasattr(self, "_lens_by_salt"):
             self._lens_by_salt = prepare_lens_by_salt(self.doc_lens, self.SALT_RANGE)
         if not hasattr(self, "_df_lookup"):
-            # resident term dictionary (vocab is tiny here; at corpus
-            # scale keep the filtered-collect path instead)
             self._df_lookup = {
                 r["term"]: int(r["df"]) for r in self.term_stats.collect()
             }
+        if not hasattr(self, "_salt_lookup"):
+            self._salt_lookup = collect_term_salts(self.segments)
+        return self._lens_by_salt, self._df_lookup, self._salt_lookup
+
+    def search_wand(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
+        from .wand import wand_topk
+
+        lens_by_salt, df_lookup, salt_lookup = self._wand_residents()
         out = wand_topk(
             self.segments, self.doc_lens, self.term_stats, self.stats, query, k,
-            salt_range=self.SALT_RANGE, lens_by_salt=self._lens_by_salt,
-            df_lookup=self._df_lookup,
+            salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,
+            df_lookup=df_lookup, salt_lookup=salt_lookup,
         )
         if round_to is not None:
             out = out.select("doc_id", F.round("score", round_to).alias("score"))
         return out
+
+    def search_wand_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        from .wand import wand_topk_batch
+
+        lens_by_salt, df_lookup, salt_lookup = self._wand_residents()
+        return wand_topk_batch(
+            self.segments, self.doc_lens, self.term_stats, self.stats, queries, k,
+            salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,
+            df_lookup=df_lookup, salt_lookup=salt_lookup,
+        )
 
 
 _ENGINE_CACHE: dict[tuple[int, str], DocumentsEngine] = {}

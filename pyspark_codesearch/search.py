@@ -398,6 +398,35 @@ class SearchService:
             stitched, "paper_id", "left"
         )
 
+    def get_index_stats(self) -> dict:
+        """Aggregate index statistics (es_search_service.py:478-530):
+        paper/chunk counts, HLL unique-paper cardinality from chunks (A3,
+        the fallback when paper docs are absent), and the category
+        distribution — the ES terms agg over the categories KEYWORD ARRAY
+        (A4: one paper with 2 categories counts in 2 buckets), bucket
+        order (doc_count desc, key asc), size 100."""
+        total_papers = self.papers.count()
+        total_chunks = self.chunks.count()
+        unique_from_chunks = int(
+            self.chunks.agg(F.approx_count_distinct("paper_id").alias("u")).collect()[0]["u"]
+        )
+        cats = (
+            self.papers.select(F.explode("categories").alias("cat"))
+            .groupBy("cat")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("cat"))
+            .limit(100)
+            .collect()
+        )
+        out = {
+            "total_papers": total_papers if total_papers else unique_from_chunks,
+            "total_chunks": total_chunks,
+            "category_distribution": {r["cat"]: r["cnt"] for r in cats},
+        }
+        if out["total_papers"] > 0:
+            out["avg_chunks_per_paper"] = round(total_chunks / out["total_papers"], 2)
+        return out
+
     def paginate(self, df: DataFrame, offset: int, limit: int) -> DataFrame:
         """T4 offset pagination over an ordered result."""
         w = Window.partitionBy().orderBy(F.desc("score"), F.asc("paper_id"))

@@ -141,6 +141,25 @@ def test_stopword_only_query_empty(svc):
     assert svc.search("the and of", 10, normalize=False).count() == 0
 
 
+def test_get_index_stats_category_distribution(svc):
+    """A4 over the categories keyword ARRAY: multi-category papers count
+    once per category (ES terms-agg semantics), bucket order preserved."""
+    from collections import Counter
+
+    from pyspark_codesearch.papers import generate_papers
+
+    p, c = generate_papers(20, seed=11)
+    exp = Counter(cat for cats in p["categories"] for cat in cats)
+    got = svc.get_index_stats()
+    assert got["total_papers"] == 20
+    assert got["total_chunks"] == len(c)
+    assert got["category_distribution"] == dict(exp)
+    # ES bucket order: doc_count desc, key asc
+    items = list(got["category_distribution"].items())
+    assert items == sorted(items, key=lambda kv: (-kv[1], kv[0]))
+    assert got["avg_chunks_per_paper"] == round(len(c) / 20, 2)
+
+
 def test_find_similar_papers_rank_identity(svc, oracle):
     """D2: embed title+abstract, semantic-only, exclude self, +5 over-fetch,
     normalize (reference es_search_service.py:416-476)."""
