@@ -4,14 +4,20 @@
 Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
 
-  index_build     ingest documents + postings + compressed segments (x16
-                  replicated corpus so the measurement is work-, not
-                  overhead-dominated)
-  bm25_batch      exact DataFrame BM25, 8-query batch
-  wand_batch      block-max WAND over compressed segments, same queries
-  dedup_minhash   MinHash+LSH candidate pairs over documents
-  simsearch       brute-force cosine top-20 over embeddings
-  relational      pricing summary + revenue-by-nation star join
+  index_build         ingest documents + postings + compressed segments
+                      (x16 replicated corpus so the measurement is work-,
+                      not overhead-dominated)
+  bm25_batch          exact DataFrame BM25, 8-query batch (per-query plans)
+  wand_batch          block-max WAND over compressed segments, same queries
+  wand_batch_oneplan  all 8 queries in ONE cogroup pass (the offline-
+                      retrieval scale shape)
+  bm25_batch_oneplan  exact scorer, one plan for the batch
+  dedup_minhash       MinHash+LSH candidate pairs over documents
+  simsearch           brute-force cosine top-20 over embeddings
+  relational          pricing summary + revenue-by-nation star join
+
+Every workload is timed best-of-$BENCH_RUNS (default 2): this sandbox VM
+has large cross-minute frequency variance.
 
 {"metric": "total_wall_sec", "value": N, "unit": "sec",
  "queries": {name: sec, ...}, "sf": 0.1, "files_per_sec": ...}
@@ -56,20 +62,24 @@ def main():
     from pyspark_codesearch.session import get_spark
     from pyspark_codesearch.wand import wand_topk
 
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_py_files(spark)
     timings: dict[str, float] = {}
 
-    def timed(name):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.perf_counter()
-
-            def __exit__(self, *a):
-                timings[name] = round(time.perf_counter() - self.t0, 3)
-
-        return _T()
+    def timed(name, fn, n_runs=None):
+        """best-of-N wall time: this sandbox VM has large cross-minute
+        frequency/steal variance (see BENCH/BASELINE.md); min is the
+        least-contaminated observation."""
+        best = None
+        for _ in range(n_runs or runs):
+            t0 = time.perf_counter()
+            fn()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     # ---- index build over a replicated corpus (bigger, still deterministic)
     from pyspark_codesearch.corpus import replicated_documents
@@ -77,23 +87,41 @@ def main():
     docs = replicated_documents(spark, sf_dir, replicate, int(cpus) * 2).cache()
     n_docs = docs.count()
 
-    salt_range = max(1024, n_docs // int(cpus))
-    with timed("index_build"):
+    # salt_range is an index-layout property: ~2 salt groups per core so
+    # hash collisions cannot serialize the cogroup, identical plan shape
+    # to the scaling harness
+    salt_range = max(1024, n_docs // (int(cpus) * 2))
+    state: dict = {}
+
+    def build_once():
+        if "postings" in state:  # best-of-N: drop the previous run's caches
+            state["postings"].unpersist()
+            state["segments"].unpersist()
+            state["doc_lens"].unpersist()
         stats = corpus_stats(docs)
         doc_lens = docs.select("doc_id", "doc_len").cache()
         postings_dl = build_postings_with_dl(docs).cache()
         postings_dl.count()
         segments = build_segments(postings_dl, stats, salt_range=salt_range).cache()
         segments.count()
-    postings = postings_dl
+        state.update(stats=stats, doc_lens=doc_lens, postings=postings_dl, segments=segments)
+
+    timed("index_build", build_once)
+    stats, doc_lens = state["stats"], state["doc_lens"]
+    postings, segments = state["postings"], state["segments"]
     term_stats = build_term_stats(postings).cache()
     term_stats.count()
 
-    with timed("bm25_batch"):
-        for q in BENCH_QUERIES:
-            bm25_topk(postings, doc_lens, term_stats, stats, q, 10).collect()
+    timed("bm25_batch", lambda: [
+        bm25_topk(postings, doc_lens, term_stats, stats, q, 10).collect()
+        for q in BENCH_QUERIES
+    ])
 
-    from pyspark_codesearch.wand import collect_term_salts, prepare_lens_by_salt
+    from pyspark_codesearch.wand import (
+        collect_term_salts,
+        prepare_lens_by_salt,
+        wand_topk_batch,
+    )
 
     lens_by_salt = prepare_lens_by_salt(doc_lens, salt_range)
     lens_by_salt.count()
@@ -101,48 +129,45 @@ def main():
     # index, like Lucene's terms dict; keeps per-query work off the driver
     df_lookup = {r["term"]: int(r["df"]) for r in term_stats.collect()}
     salt_lookup = collect_term_salts(segments)
-    with timed("wand_batch"):
-        for q in BENCH_QUERIES:
-            wand_topk(
-                segments, doc_lens, term_stats, stats, q, 10,
-                salt_range=salt_range, lens_by_salt=lens_by_salt,
-                df_lookup=df_lookup, salt_lookup=salt_lookup,
-            ).collect()
 
-    from pyspark_codesearch.wand import wand_topk_batch
-
-    with timed("wand_batch_oneplan"):
-        wand_topk_batch(
-            segments, doc_lens, term_stats, stats,
-            {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}, 10,
+    timed("wand_batch", lambda: [
+        wand_topk(
+            segments, doc_lens, term_stats, stats, q, 10,
             salt_range=salt_range, lens_by_salt=lens_by_salt,
             df_lookup=df_lookup, salt_lookup=salt_lookup,
         ).collect()
+        for q in BENCH_QUERIES
+    ])
+
+    qmap = {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}
+    timed("wand_batch_oneplan", lambda: wand_topk_batch(
+        segments, doc_lens, term_stats, stats, qmap, 10,
+        salt_range=salt_range, lens_by_salt=lens_by_salt,
+        df_lookup=df_lookup, salt_lookup=salt_lookup,
+    ).collect())
 
     from pyspark_codesearch.scoring import bm25_topk_batch
 
-    with timed("bm25_batch_oneplan"):
-        bm25_topk_batch(
-            postings, doc_lens, term_stats, stats,
-            {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}, 10,
-        ).collect()
+    timed("bm25_batch_oneplan", lambda: bm25_topk_batch(
+        postings, doc_lens, term_stats, stats, qmap, 10,
+    ).collect())
 
     from pyspark_codesearch.operators.dedup import lsh_candidate_pairs
     from pyspark_codesearch.operators.relational import pricing_summary, revenue_by_nation
     from pyspark_codesearch.operators.simsearch import cosine_topk
 
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    with timed("dedup_minhash"):
-        lsh_candidate_pairs(raw_docs).count()
+    timed("dedup_minhash", lambda: lsh_candidate_pairs(raw_docs).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    with timed("simsearch"):
-        cosine_topk(emb, qv, 20).collect()
+    timed("simsearch", lambda: cosine_topk(emb, qv, 20).collect())
 
-    with timed("relational"):
+    def relational():
         pricing_summary(spark, sf_dir).collect()
         revenue_by_nation(spark, sf_dir).collect()
+
+    timed("relational", relational)
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None

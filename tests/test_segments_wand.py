@@ -137,6 +137,51 @@ def oracle_ix(env):
     return OracleIndex({r["doc_id"]: r["content"] for r in rows})
 
 
+def test_wand_pruned_residents_match_unpruned(env):
+    """salt pruning + resident term dictionaries are pure optimizations:
+    results must be identical to the unpruned paths, including queries
+    whose terms touch only a few salts."""
+    from pyspark_codesearch.wand import (
+        collect_term_salts,
+        prepare_lens_by_salt,
+        wand_topk_batch,
+    )
+
+    df_lookup = {r["term"]: int(r["df"]) for r in env["term_stats"].collect()}
+    salt_lookup = collect_term_salts(env["segments"])
+    lens_by_salt = prepare_lens_by_salt(env["doc_lens"], SALT_RANGE)
+    assert salt_lookup and all(len(v) >= 1 for v in salt_lookup.values())
+    qmap = {
+        "a": "parse json string",
+        "b": "uniqterm000042",      # analyzer splits; '000042' -> 1 doc, 1 salt
+        "c": "zzznotaterm",
+        "d": "return data index query token merge",
+    }
+    plain = wand_topk_batch(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+        qmap, 5, salt_range=SALT_RANGE,
+    ).collect()
+    pruned = wand_topk_batch(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+        qmap, 5, salt_range=SALT_RANGE, lens_by_salt=lens_by_salt,
+        df_lookup=df_lookup, salt_lookup=salt_lookup,
+    ).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, plain))
+    assert any(r["query_id"] == "b" for r in pruned)  # non-vacuous
+    # single-query pruned path too
+    for q in ["uniqterm000042", "parse json string"]:
+        plain1 = wand_topk(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            q, 5, salt_range=SALT_RANGE,
+        ).collect()
+        pruned1 = wand_topk(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            q, 5, salt_range=SALT_RANGE, lens_by_salt=lens_by_salt,
+            df_lookup=df_lookup, salt_lookup=salt_lookup,
+        ).collect()
+        assert [tuple(r) for r in pruned1] == [tuple(r) for r in plain1], q
+
+
 def test_wand_batch_matches_single(env):
     from pyspark_codesearch.wand import wand_topk_batch
 
