@@ -270,8 +270,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Pure column-expression implementation: explode tokens -> tf ->
     explode bit positions -> signed sums -> bit reassembly. The 60x bit
-    fanout stays JVM-side (no python); at 100 TB you'd swap the fanout
-    for a pandas-UDF per-doc loop — parity-tested in tests.
+    fanout stays JVM-side (no python) but costs two shuffles; the 100 TB
+    path is :func:`simhash_pandas` (one shuffle-free Arrow map,
+    bit-identical — parity-pinned in tests).
     """
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("t"))
@@ -301,6 +302,51 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )
+        .orderBy("doc_id")
+    )
+
+
+def simhash_pandas(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Bit-identical to :func:`simhash`, but as ONE Arrow-batched map —
+    zero shuffles, no 60x bit fanout.
+
+    The column-expression version shuffles doc x term x 60 rows through
+    two groupBys; this variant computes each doc's signature inside a
+    pandas UDF (tokenize -> tf -> signed bit sums, numpy per doc) and is
+    the 100 TB path: embarrassingly parallel over doc partitions, the
+    only cost is python md5 per (doc, distinct term). Parity with the
+    JVM version is pinned by tests (same md5-prefix hash, same
+    tf-weighted majority rule; docs with zero tokens are absent from
+    both outputs)."""
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..analysis import tokenize_py
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def sig_of(text):
+        toks = tokenize_py(text or "")
+        if not toks:
+            return None
+        acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+        for t, tf in Counter(toks).items():
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            bits = (np.uint64(hv) >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, tf, -tf)
+        return int(((acc > 0).astype(np.uint64) << shifts).sum())
+
+    @pandas_udf("long")
+    def _sig(s):
+        return pd.Series(s.map(sig_of), dtype="object")
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _sig(F.col(text_col)).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
         .orderBy("doc_id")
     )
 

@@ -63,6 +63,22 @@ def test_simhash_properties(planted):
     assert ham02 < ham03  # near dup closer than unrelated
 
 
+def test_simhash_pandas_bit_identical(planted, spark, sf_dir):
+    """The shuffle-free Arrow variant must produce the EXACT signatures of
+    the column-expression version — on the planted fixture and on the
+    driver documents table (varied real-ish texts)."""
+    from pyspark_codesearch.operators.dedup import simhash_pandas
+
+    for df in (planted, spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)):
+        a = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        b = {r["doc_id"]: r["simhash"] for r in simhash_pandas(df).collect()}
+        assert a == b and len(a) > 0
+    # and the plan really is shuffle-free: one ArrowEvalPython, no exchange
+    plan = simhash_pandas(planted)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_simhash_near_pairs(planted):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(planted, max_hamming=10).collect()}
     assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0
