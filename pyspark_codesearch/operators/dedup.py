@@ -136,7 +136,19 @@ def lsh_candidate_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """(doc_a, doc_b) sharing at least one LSH band. doc_a < doc_b."""
+    """(doc_a, doc_b) sharing at least one LSH band. doc_a < doc_b.
+
+    Choosing (n_hashes, n_bands): with r = n_hashes/n_bands rows per
+    band, the S-curve's similarity threshold is ~(1/n_bands)^(1/r).
+    The defaults (16, 4) -> r=4, threshold ~0.71 are sized for the test
+    fixture; a 100 TB near-dup pass would run e.g. (128, 32) -> same
+    r=4 but threshold ~0.42 (higher recall) or (128, 16) -> r=8,
+    threshold ~0.71 with a much sharper curve (higher precision). Cost
+    scales linearly in n_hashes (map-side mins) and n_bands (band rows
+    in the self-join); the join stays skew-free at any setting because
+    band keys are md5 of r minhashes. Both production shapes are
+    exercised in tests.
+    """
     rows = n_hashes // n_bands
     sig = minhash_signatures(docs, id_col, text_col, n_hashes)
     bands = sig.select(

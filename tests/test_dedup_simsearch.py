@@ -48,6 +48,29 @@ def test_lsh_finds_exact_and_near(planted):
     assert (0, 3) not in pairs and (3, 5) not in pairs
 
 
+def test_lsh_production_sized_signatures(planted):
+    """The defaults (16 hashes / 4 bands) are fixture-sized; the operator
+    must behave at production settings too. (128, 32) keeps r=4 but
+    lowers the S-curve threshold to ~0.42 (recall-oriented); (128, 16)
+    raises r to 8, threshold ~0.71 with a sharper curve (precision-
+    oriented) — exact dups always collide, unrelated docs never do."""
+    for n_hashes, n_bands in ((128, 32), (128, 16)):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs(
+                planted, n_hashes=n_hashes, n_bands=n_bands
+            ).collect()
+        }
+        assert {(0, 1), (0, 4), (1, 4)} <= pairs, (n_hashes, n_bands)
+        assert (0, 3) not in pairs and (3, 5) not in pairs, (n_hashes, n_bands)
+    # recall-oriented setting must catch the near dup
+    recall_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(planted, n_hashes=128, n_bands=32).collect()
+    }
+    assert (0, 2) in recall_pairs
+
+
 def test_ngram_jaccard_scores(planted):
     rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(planted, threshold=0.3).collect()}
     assert rows[(0, 1)] == 1.0 and rows[(0, 4)] == 1.0
