@@ -228,3 +228,36 @@ def load_segments(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", f"{out_dir}/segments").parquet(
         f"{out_dir}/segments/bucket=*"
     )
+
+
+def n_buckets_of(out_dir: str) -> int:
+    return len(
+        [d for d in os.listdir(f"{out_dir}/segments") if d.startswith("bucket=")]
+    )
+
+
+def buckets_for_terms(spark: SparkSession, terms, n_buckets: int) -> list[int]:
+    """Static term->bucket pruning (the directory-level term-dictionary
+    seek): which bucket partitions can possibly hold these terms. Uses
+    the SAME pmod(hash(term), n) expression as the build, evaluated on a
+    tiny literal frame, so the mapping cannot drift from the writer."""
+    if not terms:
+        return []
+    rows = (
+        spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+        .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["b"]) for r in rows)
+
+
+def load_segments_for_terms(spark: SparkSession, out_dir: str, terms) -> DataFrame:
+    """Segments scan pruned to the bucket DIRECTORIES the query's terms
+    hash into — Catalyst turns the `bucket IN (...)` filter on the
+    partition column into partition pruning (untouched bucket dirs are
+    never listed or read), then the term IN-filter prunes row groups
+    inside the surviving files."""
+    segs = load_segments(spark, out_dir)
+    buckets = buckets_for_terms(spark, terms, n_buckets_of(out_dir))
+    return segs.filter(F.col("bucket").isin(buckets)).drop("bucket")

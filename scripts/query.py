@@ -29,7 +29,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark_codesearch.indexing import CorpusStats
-    from pyspark_codesearch.lineage import load_segments
     from pyspark_codesearch.pyfiles import ensure_py_files
     from pyspark_codesearch.session import get_spark
 
@@ -50,9 +49,15 @@ def main() -> None:
             {f"q{i}": q for i, q in enumerate(args.query)}, args.k,
         )
     else:
+        from pyspark_codesearch.analysis import tokenize_py
+        from pyspark_codesearch.lineage import load_segments_for_terms
         from pyspark_codesearch.wand import wand_topk_batch
 
-        segments = load_segments(spark, ix)
+        # static bucket pruning: only the bucket directories the queries'
+        # terms hash into are listed/read (term-dictionary seek at the
+        # directory level), then the term IN-filter prunes row groups
+        all_terms = {t for q in args.query for t in tokenize_py(q)}
+        segments = load_segments_for_terms(spark, ix, all_terms)
         out = wand_topk_batch(
             segments, doc_lens, term_stats, stats,
             {f"q{i}": q for i, q in enumerate(args.query)}, args.k,

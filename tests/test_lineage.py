@@ -87,6 +87,45 @@ def test_metrics_table(spark, docs, tmp_path_factory):
     assert rows["quarantine"]["rows"] == 0  # clean fixture
 
 
+def test_bucket_pruned_query_matches_full(spark, docs, tmp_path_factory):
+    """Static term->bucket directory pruning: identical results to the
+    full-segment scan, and the plan actually partition-prunes."""
+    from pyspark_codesearch.indexing import CorpusStats
+    from pyspark_codesearch.lineage import (
+        buckets_for_terms,
+        load_segments_for_terms,
+        n_buckets_of,
+    )
+    from pyspark_codesearch.wand import wand_topk_batch
+
+    d = str(tmp_path_factory.mktemp("prune"))
+    build_index_resumable(docs, d, n_buckets=4, salt_range=64)
+    st = spark.read.parquet(f"{d}/stats").collect()[0]
+    stats = CorpusStats(int(st["n_docs"]), float(st["avgdl"]))
+    doc_lens = spark.read.parquet(f"{d}/doc_lens")
+    term_stats = spark.read.parquet(f"{d}/term_stats")
+    qmap = {"a": "parse json string", "b": "uniqterm000011"}
+    from pyspark_codesearch.analysis import tokenize_py
+
+    terms = {t for q in qmap.values() for t in tokenize_py(q)}
+    assert n_buckets_of(d) == 4
+    bks = buckets_for_terms(spark, terms, 4)
+    assert 0 < len(bks) <= 4
+    pruned_segs = load_segments_for_terms(spark, d, terms)
+    full = wand_topk_batch(
+        load_segments(spark, d).drop("bucket"), doc_lens, term_stats, stats,
+        qmap, 5, salt_range=64,
+    ).collect()
+    pruned = wand_topk_batch(
+        pruned_segs, doc_lens, term_stats, stats, qmap, 5, salt_range=64
+    ).collect()
+    assert len(pruned) > 0
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+    # partition pruning visible in the scan (only matching bucket dirs)
+    plan = pruned_segs._jdf.queryExecution().toString()
+    assert "bucket" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
+
+
 def test_quarantine_poison_rows(spark, docs, tmp_path_factory):
     """S8: poison rows divert to the quarantine table with reasons; the
     build completes on the valid rows (reference ingest_papers.py:513-526
