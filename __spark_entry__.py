@@ -39,4 +39,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return entry_queries.ORACLE_SQL
+    # materializes lazy oracles (VALUES literals computed from the
+    # comparison SF dir — default /root/testdata/sf0.01, the driver's gate)
+    return entry_queries.oracle_sql_dict()

@@ -151,6 +151,39 @@ def _pack(text: str, size: int, overlap: int, start_index: int) -> list[dict]:
     return out
 
 
+def chunks_oracle_sql(
+    sf_dir: str,
+    max_doc_id: int = 50,
+    chunk_size: int = 30,
+    chunk_overlap: int = 5,
+) -> str:
+    """DuckDB VALUES oracle for the ``chunker_1_to_n`` driver entry.
+
+    The chunker is pure deterministic python (no Spark), so the oracle is
+    computed here by running :func:`chunk_text_py` over the same documents
+    the Spark entry reads (doc_id < max_doc_id) and pinning every projected
+    column by value. Built lazily at oracle_sql() call time because the
+    literal values depend on which SF dir the comparison runs against."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.less(t["doc_id"], max_doc_id)).sort_by("doc_id")
+    vals = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for c in chunk_text_py(text or "", chunk_size, chunk_overlap):
+            vals.append(
+                f"({doc_id}, {c['chunk_index']}, '{doc_id}_chunk_{c['chunk_index']}', "
+                f"{c['token_count']}, {c['start_pos']}, {c['end_pos']})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(id, chunk_index, doc_id, token_count, chunk_start, chunk_end) "
+        + "ORDER BY id, chunk_index"
+    )
+
+
 CHUNK_STRUCT = (
     "array<struct<text:string,start_pos:int,end_pos:int,"
     "chunk_index:int,token_count:int>>"

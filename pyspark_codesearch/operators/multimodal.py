@@ -50,8 +50,11 @@ def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
     return v / n if n else v
 
 
-def synth_media(spark, n: int = 64, seed: int = 123) -> DataFrame:
-    """Deterministic fake media table (binary payloads + metadata)."""
+def synth_media_rows(n: int = 64, seed: int = 123) -> list[tuple]:
+    """Deterministic fake media rows, pure python/numpy (Spark-free).
+
+    Shared by :func:`synth_media` AND the driver's DuckDB VALUES oracle for
+    ``multimodal_features`` — both sides derive from the same rng stream."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -65,7 +68,29 @@ def synth_media(spark, n: int = 64, seed: int = 123) -> DataFrame:
                 int(rng.integers(16, 256)), int(rng.integers(16, 256)), len(payload),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 64, seed: int = 123) -> DataFrame:
+    """Deterministic fake media table (binary payloads + metadata)."""
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def features_oracle_sql(n: int = 64, seed: int = 123) -> str:
+    """DuckDB VALUES oracle pinning the ``multimodal_features`` entry by
+    value: every projected column (media_id, kind, n_bytes, sha16,
+    decode_status) is pure-python computable from the seeded row stream —
+    no Spark, no table dependence."""
+    vals = ", ".join(
+        f"({i}, '{kind}', {n_bytes}, "
+        f"'{hashlib.sha256(bytes(payload)).hexdigest()[:16]}', 'fake')"
+        for i, kind, payload, _mime, _w, _h, n_bytes in synth_media_rows(n, seed)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(media_id, kind, n_bytes, sha16, decode_status) ORDER BY media_id"
+    )
 
 
 def extract_features(

@@ -151,9 +151,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
+  -- CAST: DuckDB's windowed sum returns HUGEINT, which pandas widens to
+  -- float64 — the driver's value-hash then sees 1.0 vs Spark's int64 1.
   SELECT user_id, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -206,12 +208,23 @@ FROM events GROUP BY day ORDER BY day
 
 
 def approx_distinct_users(spark, sf_dir) -> DataFrame:
-    """A3: HLL approx distinct (engine-only; no exact SQL oracle)."""
+    """A3: HLL approx distinct, restructured to be oracle-checkable: the
+    approximate value itself is engine-defined, so the driver-compared
+    columns are the EXACT count plus a bounded-relative-error boolean
+    (|approx - exact| / exact <= 2%; rsd=0.01 so the bound has slack)."""
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.01) - F.countDistinct("user_id"))
+            <= 0.02 * F.countDistinct("user_id")
+        ).alias("within_2pct"),
     )
+
+
+APPROX_DISTINCT_USERS_SQL = """
+SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_2pct FROM events
+"""
 
 
 # ---- dedup-keep-best (D1: order-preserving first-wins after score sort)

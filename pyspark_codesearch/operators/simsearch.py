@@ -131,6 +131,64 @@ def ann_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def ann_topk_sql(
+    dim: int,
+    k: int = 10,
+    *,
+    n_planes: int = N_PLANES,
+    seed: int = 977,
+    multiprobe: int = 1,
+    ref_vec_id: int = 0,
+    round_to: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`ann_topk` with the query vector taken from
+    the embeddings view (vec_id = ref_vec_id).
+
+    The seeded hyperplanes are driver-side constants, so they embed as SQL
+    literals (exactly as cosine_topk_sql embeds the query vector). Buckets
+    are computed as integers (bit pid = sign of plane-pid dot product, the
+    same sequential fold as the Spark column path), and the multiprobe set
+    "query bucket + every bucket within hamming distance m" becomes
+    ``bit_count(xor(bucket, qbucket)) <= m``."""
+    planes = hyperplanes(dim, n_planes, seed)
+    pvals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> z[1]::DOUBLE * z[2]::DOUBLE))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {ref_vec_id}),
+planes(pid, pvec) AS (VALUES {pvals}),
+ebits AS (
+  SELECT e.vec_id, p.pid,
+         CASE WHEN {dot.format(a="e.embedding", b="p.pvec")} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+ebucket AS (SELECT vec_id, sum(bit * (1 << pid))::BIGINT AS b FROM ebits GROUP BY vec_id),
+qbits AS (
+  SELECT p.pid,
+         CASE WHEN {dot.format(a="q.qe", b="p.pvec")} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM planes p CROSS JOIN q
+),
+qbucket AS (SELECT sum(bit * (1 << pid))::BIGINT AS qb FROM qbits),
+cands AS (
+  SELECT vec_id FROM ebucket, qbucket WHERE bit_count(xor(b, qb)) <= {int(multiprobe)}
+),
+scored AS (
+  SELECT e.vec_id,
+         {dot.format(a="e.embedding", b="q.qe")}
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, round(c, {round_to}) AS cos
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -8,6 +8,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark_codesearch.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# lazy oracles (entry_queries.oracle_sf_dir) must compute their VALUES
+# literals from the SAME SF dir the test queries run against
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
 
 @pytest.fixture(scope="session")
