@@ -117,34 +117,42 @@ def main():
         for q in BENCH_QUERIES
     ])
 
+    from pyspark_codesearch.analysis import tokenize_py
     from pyspark_codesearch.wand import (
-        collect_term_salts,
+        TermDictionary,
         prepare_lens_by_salt,
         wand_topk_batch,
     )
 
     lens_by_salt = prepare_lens_by_salt(doc_lens, salt_range)
     lens_by_salt.count()
-    # resident term dictionary (df + touched salts) — built once with the
-    # index, like Lucene's terms dict; keeps per-query work off the driver
-    df_lookup = {r["term"]: int(r["df"]) for r in term_stats.collect()}
-    salt_lookup = collect_term_salts(segments)
+    # resident term dictionary (df + touched salts) — FILTERED lookups
+    # only, never a full-vocab collect (the Lucene terms-dict analogue);
+    # the first timed run pays the dictionary seeks, best-of-N reports the
+    # warm-dictionary path
+    td = TermDictionary(term_stats, segments)
 
-    timed("wand_batch", lambda: [
-        wand_topk(
+    def one_wand(q):
+        dfs, salts = td.lookup(tokenize_py(q))
+        return wand_topk(
             segments, doc_lens, term_stats, stats, q, 10,
             salt_range=salt_range, lens_by_salt=lens_by_salt,
-            df_lookup=df_lookup, salt_lookup=salt_lookup,
+            df_lookup=dfs, salt_lookup=salts,
         ).collect()
-        for q in BENCH_QUERIES
-    ])
+
+    timed("wand_batch", lambda: [one_wand(q) for q in BENCH_QUERIES])
 
     qmap = {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}
-    timed("wand_batch_oneplan", lambda: wand_topk_batch(
-        segments, doc_lens, term_stats, stats, qmap, 10,
-        salt_range=salt_range, lens_by_salt=lens_by_salt,
-        df_lookup=df_lookup, salt_lookup=salt_lookup,
-    ).collect())
+
+    def wand_oneplan():
+        dfs, salts = td.lookup({t for q in BENCH_QUERIES for t in tokenize_py(q)})
+        return wand_topk_batch(
+            segments, doc_lens, term_stats, stats, qmap, 10,
+            salt_range=salt_range, lens_by_salt=lens_by_salt,
+            df_lookup=dfs, salt_lookup=salts,
+        ).collect()
+
+    timed("wand_batch_oneplan", wand_oneplan)
 
     from pyspark_codesearch.scoring import bm25_topk_batch
 

@@ -7,9 +7,15 @@ code-aware splitting per BASELINE.json input_hint):
 
 1. split CamelCase boundaries      ``fooBar`` -> ``foo Bar``,
                                    ``HTTPServer`` -> ``HTTP Server``
+   (ASCII-only by design: camelCase is an ASCII identifier convention)
 2. split letter<->digit boundaries ``utf8`` -> ``utf 8``, ``2fa`` -> ``2 fa``
 3. lowercase
-4. split on any non-[a-z0-9] run   (underscores, punctuation, unicode)
+4. split on any run of characters outside Unicode Letter/Number classes
+   (underscores, punctuation, whitespace, symbols, combining marks) —
+   the UAX#29-approximation of the reference's ES ``standard`` tokenizer
+   (es_indexer.py:69-76): "café" -> ``café``, "Москва-сити" ->
+   ``москва``/``сити``, CJK ideograph runs stay one token per run
+   (true UAX#29 would segment CJK per character — documented deviation)
 5. drop empty tokens and the 33 classic Lucene English stopwords
 
 Implementations (ALL must agree; see tests/test_analysis.py):
@@ -45,7 +51,14 @@ _BOUNDARY_RULES: tuple[tuple[str, str, str], ...] = (
     (r"([A-Za-z])([0-9])", r"$1 $2", r"\1 \2"),
     (r"([0-9])([A-Za-z])", r"$1 $2", r"\1 \2"),
 )
-_SPLIT_PATTERN = r"[^a-z0-9]+"
+# one split SPEC, two regex dialects (parity-tested across all four impls):
+# Java and RE2 express "outside Letter/Number" as [^\p{L}\p{N}]+; python re
+# has no \p classes, but \w == Unicode L* + N* + '_' (str.isalnum + _), so
+# [\W_]+ is the same character set. Both treat combining marks (Mn) as
+# separators — decomposed "café" splits, NFC "café" does not; normalize
+# upstream if mixed forms matter.
+_SPLIT_PATTERN_JAVA = r"[^\p{L}\p{N}]+"
+_SPLIT_PATTERN_PY = r"[\W_]+"
 
 
 # ---------------------------------------------------------------- column expr
@@ -58,7 +71,7 @@ def tokens_col(col: Column | str, *, keep_stopwords: bool = False) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     for pat, java_rep, _ in _BOUNDARY_RULES:
         c = F.regexp_replace(c, pat, java_rep)
-    arr = F.split(F.lower(c), _SPLIT_PATTERN)
+    arr = F.split(F.lower(c), _SPLIT_PATTERN_JAVA)
     if keep_stopwords:
         return F.filter(arr, lambda x: x != F.lit(""))
     stop = [F.lit(s) for s in ENGLISH_STOPWORDS]
@@ -71,7 +84,7 @@ def tokenize_series(s, *, keep_stopwords: bool = False):
     s = s.fillna("")
     for pat, _, py_rep in _BOUNDARY_RULES:
         s = s.str.replace(pat, py_rep, regex=True)
-    toks = s.str.lower().str.split(_SPLIT_PATTERN, regex=True)
+    toks = s.str.lower().str.split(_SPLIT_PATTERN_PY, regex=True)
     if keep_stopwords:
         return toks.map(lambda ts: [t for t in ts if t])
     return toks.map(lambda ts: [t for t in ts if t and t not in _STOP_SET])
@@ -90,7 +103,7 @@ def tokenize_pandas_udf():
 
 # ---------------------------------------------------------------- pure python
 _PY_RULES = [(re.compile(p), r) for p, _, r in _BOUNDARY_RULES]
-_PY_SPLIT = re.compile(_SPLIT_PATTERN)
+_PY_SPLIT = re.compile(_SPLIT_PATTERN_PY)
 
 
 def tokenize_py(text: str, *, keep_stopwords: bool = False) -> list[str]:
@@ -111,7 +124,7 @@ def duckdb_tokens_expr(col_sql: str, *, keep_stopwords: bool = False) -> str:
     e = col_sql
     for pat, _, rep in _BOUNDARY_RULES:
         e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
-    e = f"string_split_regex(lower({e}), '{_SPLIT_PATTERN}')"
+    e = f"string_split_regex(lower({e}), '{_SPLIT_PATTERN_JAVA}')"
     if keep_stopwords:
         return f"list_filter({e}, t -> len(t) > 0)"
     stop_list = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)

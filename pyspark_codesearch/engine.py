@@ -54,25 +54,32 @@ class DocumentsEngine:
         return out
 
     def _wand_residents(self):
-        """Driver-resident query-time side state: pre-partitioned lens,
-        term->df and term->salts dictionaries (Lucene term-dict analogue;
-        at corpus scale these are filtered lookups, not full collects)."""
-        from .wand import collect_term_salts, prepare_lens_by_salt
+        """Driver-resident query-time side state: pre-partitioned lens and
+        a lazily-populated term dictionary (Lucene term-dict analogue).
+        The dictionary issues FILTERED lookups per query — no full-vocab
+        collect ever happens, so the resident state is bounded by the
+        queried vocabulary even on a 10^12-file corpus."""
+        from .wand import TermDictionary, prepare_lens_by_salt
 
         if not hasattr(self, "_lens_by_salt"):
             self._lens_by_salt = prepare_lens_by_salt(self.doc_lens, self.SALT_RANGE)
-        if not hasattr(self, "_df_lookup"):
-            self._df_lookup = {
-                r["term"]: int(r["df"]) for r in self.term_stats.collect()
-            }
-        if not hasattr(self, "_salt_lookup"):
-            self._salt_lookup = collect_term_salts(self.segments)
-        return self._lens_by_salt, self._df_lookup, self._salt_lookup
+        if not hasattr(self, "_term_dict"):
+            self._term_dict = TermDictionary(self.term_stats, self.segments)
+        return self._lens_by_salt, self._term_dict
+
+    def _query_lookups(self, query_text: str):
+        from collections import Counter
+
+        from .analysis import tokenize_py
+
+        lens_by_salt, td = self._wand_residents()
+        dfs, salts = td.lookup(Counter(tokenize_py(query_text)).keys())
+        return lens_by_salt, dfs, salts
 
     def search_wand(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         from .wand import wand_topk
 
-        lens_by_salt, df_lookup, salt_lookup = self._wand_residents()
+        lens_by_salt, df_lookup, salt_lookup = self._query_lookups(query)
         out = wand_topk(
             self.segments, self.doc_lens, self.term_stats, self.stats, query, k,
             salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,
@@ -85,7 +92,7 @@ class DocumentsEngine:
     def search_wand_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         from .wand import wand_topk_batch
 
-        lens_by_salt, df_lookup, salt_lookup = self._wand_residents()
+        lens_by_salt, df_lookup, salt_lookup = self._query_lookups(" ".join(queries.values()))
         return wand_topk_batch(
             self.segments, self.doc_lens, self.term_stats, self.stats, queries, k,
             salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,

@@ -83,7 +83,14 @@ def unit_done(out_dir: str, unit: str, fingerprint: str) -> bool:
         return json.load(f).get("input_fingerprint") == fingerprint
 
 
-def commit_unit(out_dir: str, unit: str, fingerprint: str, rows: int, wall_ms: float) -> None:
+def commit_unit(
+    out_dir: str,
+    unit: str,
+    fingerprint: str,
+    rows: int,
+    wall_ms: float,
+    extra: dict | None = None,
+) -> None:
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     rec = {
         "unit": unit,
@@ -91,6 +98,8 @@ def commit_unit(out_dir: str, unit: str, fingerprint: str, rows: int, wall_ms: f
         "rows": rows,
         "wall_ms": round(wall_ms, 1),
     }
+    if extra:
+        rec.update(extra)
     tmp = _manifest_path(out_dir, unit) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(rec, f)
@@ -103,7 +112,10 @@ def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     for fn in sorted(os.listdir(mdir)):
         if fn.endswith(".json"):
             with open(os.path.join(mdir, fn)) as f:
-                recs.append(json.load(f))
+                r = json.load(f)
+            recs.append(
+                {k: r.get(k) for k in ("unit", "input_fingerprint", "rows", "wall_ms")}
+            )
     return spark.createDataFrame(
         recs, "unit string, input_fingerprint string, rows long, wall_ms double"
     )
@@ -139,13 +151,15 @@ def build_index_resumable(
         if fail_after_units is not None and executed["n"] >= fail_after_units:
             raise BuildInterrupted(f"injected failure after {executed['n']} units")
 
-    def run_unit(unit: str, fingerprint: str, fn):
+    def run_unit(unit: str, fingerprint: str, fn, extra: dict | None = None):
         if unit_done(out_dir, unit, fingerprint):
             return False
         maybe_fail()
         t0 = time.perf_counter()
         rows = fn()
-        commit_unit(out_dir, unit, fingerprint, rows, (time.perf_counter() - t0) * 1000)
+        commit_unit(
+            out_dir, unit, fingerprint, rows, (time.perf_counter() - t0) * 1000, extra
+        )
         executed["n"] += 1
         return True
 
@@ -214,7 +228,10 @@ def build_index_resumable(
             segs.write.mode("overwrite").parquet(f"{out_dir}/segments/bucket={b}")
             return spark.read.parquet(f"{out_dir}/segments/bucket={b}").count()
 
-        run_unit(unit, fp, do_bucket)
+        # built_avgdl: the avgdl baked into this bucket's block_max_impact
+        # values — after an upsert shifts corpus avgdl, impact_scale()
+        # derives a sound pruning bound from it (see upsert_index)
+        run_unit(unit, fp, do_bucket, extra={"built_avgdl": stats.avgdl, "salt_range": salt_range})
 
     return {
         "out_dir": out_dir,
@@ -222,6 +239,261 @@ def build_index_resumable(
         "n_buckets": n_buckets,
         "stats": stats,
     }
+
+
+# --------------------------------------------------------------- upsert/delete
+#
+# Incremental re-ingest on a built index (the Iceberg MERGE/DELETE story,
+# reference analogue: idempotent upsert via deterministic _ids,
+# es_indexer.py:176-179, and delete-by-id, es_indexer.py:442-472):
+# a changed doc's postings are REPLACED exactly once, new docs insert,
+# deleted ids disappear — and only the term-hash buckets its (old + new)
+# terms touch are rewritten; untouched bucket partitions keep their files
+# and manifests. On a real lakehouse every _swap_dir below is one Iceberg
+# copy-on-write snapshot commit.
+
+
+def _swap_dir(path: str, write_fn) -> None:
+    """Write to a staging dir, then swap it in (read-path-safe: Spark
+    cannot overwrite a parquet dir it is reading from)."""
+    import shutil
+
+    tmp, old = path + ".staging", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def impact_scale(out_dir: str, current_avgdl: float) -> float:
+    """Sound block-max pruning bound after upserts shifted corpus avgdl.
+
+    Stored block_max_impact values were computed with each bucket's
+    built_avgdl. For the true impact under avgdl_now:
+    tf/(tf+c_now) <= tf/(tf+c_built) * (c_built/c_now) and
+    c_built/c_now <= avgdl_now/avgdl_built, so scaling every stored bound
+    by max(1, avgdl_now/avgdl_built) keeps MaxScore pruning lossless
+    (scores themselves are always computed exactly from current lens)."""
+    scale = 1.0
+    mdir = _manifest_dir(out_dir)
+    for fn in os.listdir(mdir):
+        if fn.startswith("segments__") and fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                built = json.load(f).get("built_avgdl")
+            if built:
+                scale = max(scale, float(current_avgdl) / float(built))
+    return scale
+
+
+def upsert_index(
+    spark: SparkSession,
+    out_dir: str,
+    delta_docs: DataFrame | None = None,
+    *,
+    deleted_ids: list[int] | None = None,
+    salt_range: int = 1 << 20,
+) -> dict:
+    """Apply a keyed upsert (+ deletes) to a built index, incrementally.
+
+    ``delta_docs`` must be in the canonical ingested shape (doc_id,
+    content, sha256, tokens, doc_len, ...) with doc_ids equal to the base
+    rows they replace (new ids = inserts). Steps, each lineage-committed
+    under the delta fingerprint so a killed upsert resumes idempotently:
+
+    1. docs/doc_lens/stats: base MERGE delta MINUS deletes (keyed window).
+    2. affected terms = tokens of the OLD versions (re-derived from the
+       stored docs — a handful of point lookups) UNION the delta's tokens;
+       affected buckets = their term-hash buckets.
+    3. per affected postings bucket: drop rows of upserted/deleted doc_ids,
+       append the delta's postings — one staged swap per bucket.
+    4. term_stats: untouched terms keep their rows; affected terms get df
+       recomputed from the rewritten buckets only.
+    5. per affected segments bucket: rebuild from the new postings with
+       CURRENT stats; manifests record built_avgdl for impact_scale().
+    """
+    from .indexing import build_postings_with_dl
+    from .operators.merge import merge_upsert
+
+    deleted_ids = list(deleted_ids or [])
+    n_buckets = len(
+        [d for d in os.listdir(f"{out_dir}/postings") if d.startswith("bucket=")]
+    )
+    base_docs = spark.read.parquet(f"{out_dir}/docs")
+    if delta_docs is None:
+        delta_plain = None
+        delta_keys: list[int] = []
+    else:
+        # align to the stored docs schema; columns the delta doesn't carry
+        # (e.g. repo/path metadata on a content-only re-ingest) become NULL
+        base_types = dict(base_docs.dtypes)
+        d = delta_docs.drop("tokens")
+        delta_plain = d.select(
+            *[
+                (F.col(c) if c in d.columns else F.lit(None).cast(base_types[c])).alias(c)
+                for c in base_docs.columns
+            ]
+        )
+        delta_keys = [int(r["doc_id"]) for r in delta_docs.select("doc_id").collect()]
+    affected_ids = sorted(set(delta_keys) | set(int(i) for i in deleted_ids))
+    if not affected_ids:
+        return {"out_dir": out_dir, "affected_buckets": [], "executed_units": 0}
+
+    # delta fingerprint: content of the upsert, not of the base
+    import hashlib as _hl
+
+    fp_src = json.dumps({"ids": affected_ids, "dels": sorted(deleted_ids)})
+    if delta_docs is not None:
+        sh = delta_docs.agg(
+            F.sha2(F.concat_ws("", F.sort_array(F.collect_list("sha256"))), 256).alias("fp")
+        ).collect()[0]["fp"]
+        fp_src += ":" + (sh or "")
+    delta_fp = _hl.sha256(fp_src.encode()).hexdigest()[:16]
+    executed = {"n": 0}
+
+    def run_unit(unit, fn, extra=None):
+        if unit_done(out_dir, unit, delta_fp):
+            return False
+        t0 = time.perf_counter()
+        rows = fn()
+        commit_unit(out_dir, unit, delta_fp, rows, (time.perf_counter() - t0) * 1000, extra)
+        executed["n"] += 1
+        return True
+
+    # ---- affected terms: old versions' tokens + delta's tokens
+    from .analysis import tokens_col
+
+    old_terms = {
+        r["t"]
+        for r in base_docs.filter(F.col("doc_id").isin(affected_ids))
+        .select(F.explode(tokens_col("content")).alias("t"))
+        .distinct()
+        .collect()
+    }
+    new_terms = (
+        {
+            r["t"]
+            for r in delta_docs.select(F.explode("tokens").alias("t")).distinct().collect()
+        }
+        if delta_docs is not None
+        else set()
+    )
+    affected_terms = sorted(old_terms | new_terms)
+    affected_buckets = buckets_for_terms(spark, affected_terms, n_buckets)
+
+    # ---- stage 1: docs table (merge + delete), then doc_lens + stats
+    def do_docs():
+        merged = base_docs
+        if delta_plain is not None:
+            merged = merge_upsert(base_docs, delta_plain, key="doc_id").drop("src")
+        if deleted_ids:
+            merged = merged.filter(~F.col("doc_id").isin(deleted_ids))
+        merged = merged.cache()
+        n = merged.count()
+        _swap_dir(f"{out_dir}/docs", lambda p: merged.write.parquet(p))
+        new_docs = spark.read.parquet(f"{out_dir}/docs")
+        _swap_dir(
+            f"{out_dir}/doc_lens",
+            lambda p: new_docs.select("doc_id", "doc_len").write.parquet(p),
+        )
+        st = new_docs.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        _swap_dir(
+            f"{out_dir}/stats",
+            lambda p: spark.createDataFrame(
+                [(int(st["n"]), float(st["avgdl"] or 0.0))], "n_docs long, avgdl double"
+            ).write.parquet(p),
+        )
+        merged.unpersist()
+        return n
+
+    run_unit("upsert_docs", do_docs)
+
+    # ---- stage 2: affected postings buckets
+    delta_postings = None
+    if delta_docs is not None:
+        delta_postings = build_postings_with_dl(delta_docs).withColumn(
+            "bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
+        )
+
+    for b in affected_buckets:
+
+        def do_bucket(b=b):
+            path = f"{out_dir}/postings/bucket={b}"
+            keep = spark.read.parquet(path).filter(~F.col("doc_id").isin(affected_ids))
+            part = keep
+            if delta_postings is not None:
+                part = keep.unionByName(
+                    delta_postings.filter(F.col("bucket") == b).drop("bucket")
+                )
+            part = part.cache()
+            n = part.count()
+            _swap_dir(path, lambda p: part.write.parquet(p))
+            part.unpersist()
+            return n
+
+        run_unit(f"upsert_postings/bucket={b}", do_bucket)
+
+    # ---- stage 3: term_stats (incremental: only affected terms recount)
+    def do_term_stats():
+        kept = spark.read.parquet(f"{out_dir}/term_stats").filter(
+            ~F.col("term").isin(affected_terms)
+        )
+        touched = (
+            spark.read.option("basePath", f"{out_dir}/postings")
+            .parquet(*[f"{out_dir}/postings/bucket={b}" for b in affected_buckets])
+            .filter(F.col("term").isin(affected_terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        merged = kept.unionByName(touched).cache()
+        n = merged.count()
+        _swap_dir(f"{out_dir}/term_stats", lambda p: merged.write.parquet(p))
+        merged.unpersist()
+        return n
+
+    run_unit("upsert_term_stats", do_term_stats)
+
+    # ---- stage 4: affected segments buckets (with CURRENT stats)
+    st_row = spark.read.parquet(f"{out_dir}/stats").collect()[0]
+    from .indexing import CorpusStats
+
+    stats = CorpusStats(int(st_row["n_docs"]), float(st_row["avgdl"]))
+    for b in affected_buckets:
+
+        def do_seg(b=b):
+            part = spark.read.parquet(f"{out_dir}/postings/bucket={b}")
+            segs = build_segments(part, stats, salt_range=salt_range)
+            segs.write.mode("overwrite").parquet(f"{out_dir}/segments/bucket={b}")
+            return spark.read.parquet(f"{out_dir}/segments/bucket={b}").count()
+
+        # unit name matches the build's so impact_scale() sees ONE manifest
+        # per bucket carrying the avgdl its impacts were computed with
+        run_unit(
+            f"segments/bucket={b}",
+            do_seg,
+            extra={"built_avgdl": stats.avgdl, "salt_range": salt_range},
+        )
+
+    return {
+        "out_dir": out_dir,
+        "affected_buckets": affected_buckets,
+        "affected_terms": len(affected_terms),
+        "executed_units": executed["n"],
+        "stats": stats,
+    }
+
+
+def delete_from_index(
+    spark: SparkSession, out_dir: str, ids: list[int], *, salt_range: int = 1 << 20
+) -> dict:
+    """DELETE FROM the index by doc id — the delta-less half of
+    :func:`upsert_index` (docs, postings, term_stats, segments all drop
+    the rows; only the buckets holding the deleted docs' terms rewrite)."""
+    return upsert_index(spark, out_dir, None, deleted_ids=ids, salt_range=salt_range)
 
 
 def load_segments(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -10,8 +10,9 @@ Scale notes (the point of each design):
   shingle->minhash->band->bucket-join.
 - SimHash: 60-bit fingerprint (15 hex chars so the value fits a SIGNED
   long — Spark has no unsigned 64-bit; DuckDB side uses the same 60
-  bits). Near-dup candidates join on 15-bit chunk equality (any doc pair
-  within hamming distance 3 shares >=1 of 4 chunks — pigeonhole).
+  bits). Near-dup candidates join on chunk equality with the chunk count
+  derived from the requested radius (pigeonhole: max_hamming+1 chunks,
+  so recall is complete at ANY radius — see :func:`chunk_plan`).
 - embedding cosine near-dup: brute-force pair join at test scale;
   random-hyperplane LSH buckets as the scale path (simsearch.py).
 
@@ -384,15 +385,33 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def chunk_plan(max_hamming: int) -> tuple[int, int]:
+    """(n_chunks, chunk_bits) guaranteeing recall at the requested radius.
+
+    Pigeonhole: a pair within hamming distance h differs in at most h
+    chunks, so with n_chunks >= h+1 the pair MUST share at least one
+    equal chunk. Round n_chunks up to the next divisor of SIMHASH_BITS
+    so chunks stay equal-width (hamming 3 -> 4x15 bits, the historical
+    default; hamming 8 -> 10x6 bits). More chunks = more candidate rows
+    but the join stays an equi-join on (chunk_index, chunk_value)."""
+    need = max_hamming + 1
+    if need > SIMHASH_BITS:
+        raise ValueError(f"max_hamming {max_hamming} >= {SIMHASH_BITS} bits")
+    n = next(n for n in range(need, SIMHASH_BITS + 1) if SIMHASH_BITS % n == 0)
+    return n, SIMHASH_BITS // n
+
+
 def simhash_near_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming<=max_hamming) via 15-bit chunk-equality join.
+    """(doc_a, doc_b, hamming<=max_hamming) via chunk-equality join.
 
-    Pigeonhole: hamming <= SIMHASH_CHUNKS-1 guarantees an equal chunk, so
-    the candidate join is an equi-join (shuffle on chunk value), never a
-    cross product.
+    The chunk count is DERIVED from max_hamming (:func:`chunk_plan`) so
+    the pigeonhole recall guarantee holds at any requested radius — a
+    fixed 4-chunk split is only complete up to hamming 3. The candidate
+    join is an equi-join (shuffle on chunk value), never a cross product.
     """
+    n_chunks, chunk_bits = chunk_plan(max_hamming)
     sh = simhash(docs, id_col, text_col)
     chunks = sh.select(
         "doc_id",
@@ -402,11 +421,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright("simhash", c * CHUNK_BITS)
-                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("v"),
                     )
-                    for c in range(SIMHASH_CHUNKS)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),
@@ -433,9 +452,10 @@ def simhash_near_pairs(
 
 def simhash_near_pairs_sql(text_col: str = "text", max_hamming: int = 3) -> str:
     base = simhash_sql(text_col).replace("ORDER BY doc_id", "")
+    n_chunks, chunk_bits = chunk_plan(max_hamming)
     chunk_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS c, (simhash >> {c * CHUNK_BITS}) & {(1 << CHUNK_BITS) - 1} AS v FROM sh"
-        for c in range(SIMHASH_CHUNKS)
+        f"SELECT doc_id, simhash, {c} AS c, (simhash >> {c * chunk_bits}) & {(1 << chunk_bits) - 1} AS v FROM sh"
+        for c in range(n_chunks)
     )
     return f"""
 WITH sh AS ({base}),

@@ -77,6 +77,15 @@ def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 977) -> np.ndarr
     return rng.standard_normal((n_planes, dim))
 
 
+# Literal-expression budget: below this many embedded literals
+# (n_planes*dim or n_cells*dim) the plan stays pure JVM column
+# expressions; above it, Catalyst plan size grows O(literals) (a plan-
+# size bomb at BGE dims x real cell counts), so assignment switches to an
+# Arrow-batched pandas UDF over a closure-captured numpy matrix (shipped
+# once per task like a broadcast). Both paths are parity-pinned in tests.
+LITERAL_BUDGET = 4096
+
+
 def _bucket_col(vec_col: str, planes: np.ndarray):
     bits = []
     for p in planes:
@@ -84,6 +93,29 @@ def _bucket_col(vec_col: str, planes: np.ndarray):
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         bits.append(F.when(_dot(v, pv) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _bucket_col_pandas(vec_col: str, planes: np.ndarray):
+    """Scale-shape sign-LSH bucket: one matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)
+
+    @pandas_udf("string")
+    def _bucket(s):
+        import pandas as pd
+
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        bits = (V @ P.T >= 0).astype(np.uint8)
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return _bucket(F.col(vec_col))
+
+
+def bucket_expr(vec_col: str, planes: np.ndarray, *, use_pandas: bool | None = None):
+    if use_pandas is None:
+        use_pandas = planes.size > LITERAL_BUDGET
+    return _bucket_col_pandas(vec_col, planes) if use_pandas else _bucket_col(vec_col, planes)
 
 
 def hyperplane_lsh_buckets(
@@ -97,7 +129,7 @@ def hyperplane_lsh_buckets(
     """(vec_id, bucket string of n_planes sign bits)."""
     planes = hyperplanes(dim, n_planes, seed)
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), _bucket_col(vec_col, planes).alias("bucket")
+        F.col(id_col).alias("vec_id"), bucket_expr(vec_col, planes).alias("bucket")
     )
 
 
@@ -126,7 +158,7 @@ def ann_topk(
             for i in pos:
                 fl[i] = "0" if fl[i] == "1" else "1"
             probes.add("".join(fl))
-    bucketed = embeddings.withColumn("bucket", _bucket_col(vec_col, planes))
+    bucketed = embeddings.withColumn("bucket", bucket_expr(vec_col, planes))
     cands = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
@@ -194,13 +226,26 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    use_pandas: bool | None = None,
 ) -> DataFrame:
-    """(vec_id, cell) — nearest-centroid assignment, JVM-side.
+    """(vec_id, cell) — nearest-centroid assignment.
 
-    IVF coarse quantizer: cells = argmin over the (broadcast-literal)
-    centroid list of squared L2 distance. At scale, write the table
-    partitioned by ``cell`` so probes become partition-pruned reads.
+    IVF coarse quantizer: cells = argmin of squared L2 distance over the
+    centroid list. At scale, write the table partitioned by ``cell`` so
+    probes become partition-pruned reads.
+
+    Two physical paths (parity-pinned in tests): JVM literal expressions
+    while n_cells*dim fits LITERAL_BUDGET (whole-stage codegen, no
+    python); beyond that an Arrow-batched pandas UDF over a numpy
+    centroid matrix — plan size independent of n_cells x dim, one
+    matmul-shaped distance computation per batch (the right shape for
+    BGE-dim production centroids).
     """
+    if use_pandas is None:
+        use_pandas = len(centroids) * (len(centroids[0]) if centroids else 0) > LITERAL_BUDGET
+    if use_pandas:
+        return _ivf_assign_pandas(embeddings, centroids, id_col, vec_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dists = []
     for ci, c in enumerate(centroids):
@@ -213,6 +258,33 @@ def ivf_assign(
         dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
     best = F.array_min(F.array(*dists))
     return embeddings.select(F.col(id_col).alias("vec_id"), best["c"].alias("cell"))
+
+
+def _ivf_assign_pandas(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-shape assign: ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 per Arrow
+    batch; argmin ties break to the lowest cell id (numpy argmin takes
+    the first minimum — same rule as the literal path's struct min)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _cell(s):
+        import pandas as pd
+
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), _cell(F.col(vec_col)).alias("cell")
+    )
 
 
 def deterministic_centroids(
@@ -230,7 +302,11 @@ def deterministic_centroids(
     Fully deterministic: seeded start, deterministic assignment ties."""
     rows = embeddings.orderBy(id_col).limit(n_cells).collect()
     cents = [[float(x) for x in r[vec_col]] for r in rows]
-    dim = len(cents[0]) if cents else 0
+    if not cents:
+        # empty input: no Lloyd iterations (ivf_assign over zero centroids
+        # would build F.array_min(F.array()) and fail analysis)
+        return cents
+    dim = len(cents[0])
     for _ in range(max(0, int(kmeans_iters))):
         assigned = ivf_assign(embeddings, cents, id_col, vec_col).withColumnRenamed(
             "vec_id", "_aid"

@@ -62,15 +62,20 @@ def _decode_term_blocks(g: pd.DataFrame):
     the measured hot spot of the batch scorer at 3.84M docs)."""
     id_buf = b"".join(g["doc_ids_enc"])
     tf_buf = b"".join(g["tfs_enc"])
-    gaps = varbyte_decode(id_buf)
+    gaps = varbyte_decode(id_buf).astype(np.int64)
     tfs = varbyte_decode(tf_buf).astype(np.float64)
     counts = g["n_docs"].to_numpy(np.int64)
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    c = np.cumsum(gaps.astype(np.int64))
-    # ids[i] = first_of_block + (c[i] - c[block_start]); gaps[start] IS
-    # the absolute first id of the block (encode_blocked restarts there)
-    fix = gaps[starts].astype(np.int64) - c[starts]
-    ids = c + np.repeat(fix, counts)
+    # gaps[start] IS the absolute first id of its block (encode_blocked
+    # restarts there). Zero the block-start slots BEFORE the cumsum so
+    # the running sum only ever accumulates within-block gaps (bounded by
+    # n_blocks * salt_range) — cumsumming the absolutes would approach
+    # 2^63 with bucket-composed doc ids (~2^50) over ~8k blocks and wrap.
+    firsts = gaps[starts].copy()
+    gaps[starts] = 0
+    c = np.cumsum(gaps)
+    # ids[i] = first_of_block + (c[i] - c[block_start])
+    ids = c + np.repeat(firsts - c[starts], counts)
     return ids, tfs
 
 
@@ -86,6 +91,7 @@ def _score_salt(
     b: float,
     prep: tuple | None = None,
     cache: dict | None = None,
+    impact_scale: float = 1.0,
 ) -> pd.DataFrame:
     """MaxScore scoring of one salt. ``prep`` (base, norm_c) and ``cache``
     (term -> decoded postings) are shared across the queries of a batch —
@@ -102,7 +108,10 @@ def _score_salt(
     for term, g in seg_pdf.groupby("term", sort=True):
         g = g.sort_values("block_id")
         w = qtf[term] * _idf(n_docs, float(dfs[term]))
-        c_t = w * float(g["block_max_impact"].max())
+        # impact_scale > 1 after index upserts shifted avgdl: stored block
+        # maxima were computed with built_avgdl, scaling keeps the MaxScore
+        # bound sound (lineage.impact_scale); scores stay exact either way
+        c_t = w * float(g["block_max_impact"].max()) * impact_scale
         terms.append((term, w, c_t, g))
     terms.sort(key=lambda t: (-t[2], t[0]))
 
@@ -190,6 +199,50 @@ def _lens(doc_lens: DataFrame, lens_by_salt: DataFrame | None, salt_range: int) 
     )
 
 
+class TermDictionary:
+    """Driver-resident term -> (df, touched salts) lookups, populated by
+    FILTERED collects only — never a full-vocabulary collect.
+
+    The distributed side is one cached (term, salts, df) table (segments'
+    per-term salt sets joined with term_stats — at 10^12-file scale this
+    is vocab-sized but stays distributed, a few bytes per term like a
+    Lucene term dictionary). ``lookup(terms)`` collects exactly the rows
+    for terms it has not seen before (negative results cached too), so
+    the resident dict is bounded by the QUERIED vocabulary, not the
+    corpus vocabulary. ``fetched_terms`` records every term ever sent to
+    a filtered collect — tests assert it never exceeds the query terms.
+    """
+
+    def __init__(self, term_stats: DataFrame, segments: DataFrame):
+        self._side = (
+            segments.select("term", "salt")
+            .distinct()
+            .groupBy("term")
+            .agg(F.collect_set("salt").alias("salts"))
+            .join(term_stats, "term")
+            .cache()
+        )
+        self._df: dict[str, int] = {}
+        self._salts: dict[str, tuple[int, ...]] = {}
+        self._miss: set[str] = set()
+        self.fetched_terms: set[str] = set()
+
+    def lookup(self, terms) -> tuple[dict[str, int], dict[str, tuple[int, ...]]]:
+        want = set(terms)
+        missing = sorted(want - self._df.keys() - self._miss)
+        if missing:
+            self.fetched_terms.update(missing)
+            rows = self._side.filter(F.col("term").isin(missing)).collect()
+            for r in rows:
+                self._df[r["term"]] = int(r["df"])
+                self._salts[r["term"]] = tuple(sorted(int(s) for s in r["salts"]))
+            self._miss.update(t for t in missing if t not in self._df)
+        return (
+            {t: self._df[t] for t in want if t in self._df},
+            {t: self._salts[t] for t in want if t in self._salts},
+        )
+
+
 def collect_term_salts(segments: DataFrame) -> dict[str, tuple[int, ...]]:
     """Resident term -> touched-salts dictionary (one distinct scan).
 
@@ -226,6 +279,7 @@ def wand_topk(
     lens_by_salt: DataFrame | None = None,
     df_lookup: dict[str, int] | None = None,
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
+    impact_scale: float = 1.0,
 ) -> DataFrame:
     """Top-k (doc_id, score) via pruned scoring over compressed segments."""
     spark = segments.sparkSession
@@ -262,7 +316,8 @@ def wand_topk(
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
     def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_salt(seg_pdf, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b)
+        return _score_salt(seg_pdf, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b,
+                           impact_scale=impact_scale)
 
     per_salt = (
         seg.groupBy("salt")
@@ -286,6 +341,7 @@ def wand_topk_batch(
     lens_by_salt: DataFrame | None = None,
     df_lookup: dict[str, int] | None = None,
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
+    impact_scale: float = 1.0,
 ) -> DataFrame:
     """All queries in ONE cogroup pass: (query_id, rank, doc_id, score).
 
@@ -353,7 +409,7 @@ def wand_topk_batch(
             if sub.empty:
                 continue
             r = _score_salt(sub, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b,
-                            prep=prep, cache=cache)
+                            prep=prep, cache=cache, impact_scale=impact_scale)
             if len(r):
                 r.insert(0, "query_id", qid)
                 outs.append(r)

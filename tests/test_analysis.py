@@ -26,7 +26,33 @@ CASES = [
     "Ünicode–dashes—and\ttabs\nnewlines",
     "a1B2c3 XMLHttpRequest ID3v2",
     "UPPERONLY lowercase MixedCase2You",
+    # unicode (UAX#29-approximation: split on non-Letter/Number runs)
+    "café Café CAFÉ naïve façade über señor",
+    "日本語のテキスト処理 と 漢字123",
+    "Москва-сити и Санкт-Петербург",
+    "ελληνικά κείμενα και κώδικας",
+    "한국어 텍스트 처리",
+    "emoji 🚀 rocket · bullet — dash",
+    "café NFC vs café NFD",
+    "mixedСyrillicLatin Αlpha",
 ]
+
+
+def test_unicode_spec():
+    # accented Latin survives as one token (was "caf" before round 3)
+    assert tokenize_py("café") == ["café"]
+    assert tokenize_py("Naïve Façade") == ["naïve", "façade"]
+    # non-Latin scripts tokenize instead of vanishing
+    assert tokenize_py("日本語のテキスト処理") == ["日本語のテキスト処理"]
+    assert tokenize_py("Москва-сити") == ["москва", "сити"]
+    assert tokenize_py("ελληνικά κείμενα") == ["ελληνικά", "κείμενα"]
+    assert tokenize_py("한국어 텍스트") == ["한국어", "텍스트"]
+    # ASCII-digit boundary rules stay ASCII-only: CJK+digits is one token
+    assert tokenize_py("漢字123") == ["漢字123"]
+    # combining marks are separators (decomposed é splits; NFC é does not)
+    assert tokenize_py("café") == ["cafe"]
+    # emoji/symbols/punct are separators
+    assert tokenize_py("emoji 🚀 rocket") == ["emoji", "rocket"]
 
 
 def test_pure_python_spec():

@@ -64,3 +64,26 @@ def test_compression_ratio_dense_ids():
     ids = np.arange(10_000, 20_000, dtype=np.int64)
     enc = delta_encode(ids)
     assert len(enc) < len(ids) * 1.1 + 4
+
+
+def test_decode_term_blocks_bucket_composed_ids_no_overflow():
+    """Fused block decode must not wrap int64 when block-start absolutes
+    are bucket-composed doc ids (~2^50) over many blocks: the cumsum runs
+    over within-block gaps only, never over the absolutes."""
+    import pandas as pd
+
+    from pyspark_codesearch.codecs import encode_blocked
+    from pyspark_codesearch.wand import _decode_term_blocks
+
+    base = 1 << 50
+    # 9000 blocks x 128 postings; cumsum of absolutes would be ~9e3 * 2^50
+    # ~ 2^63.1 -> wraps; within-block gaps sum to ~9000*128 only
+    ids = base + np.arange(9000 * 128, dtype=np.int64)
+    tfs = np.ones(ids.size, dtype=np.int64)
+    id_bufs, tf_bufs = encode_blocked(ids, tfs, 128)
+    counts = [128] * 9000
+    g = pd.DataFrame({"doc_ids_enc": id_bufs, "tfs_enc": tf_bufs, "n_docs": counts})
+    got_ids, got_tfs = _decode_term_blocks(g)
+    assert got_ids.dtype == np.int64
+    assert (got_ids == ids).all()
+    assert (got_tfs == 1.0).all()

@@ -108,6 +108,39 @@ def test_simhash_near_pairs(planted):
     assert (0, 3) not in pairs
 
 
+def test_simhash_chunk_plan():
+    from pyspark_codesearch.operators.dedup import chunk_plan
+
+    assert chunk_plan(3) == (4, 15)   # the historical default
+    assert chunk_plan(8) == (10, 6)   # pigeonhole needs >= 9 chunks
+    assert chunk_plan(0) == (1, 60)
+    assert chunk_plan(11) == (12, 5)
+    with pytest.raises(ValueError):
+        chunk_plan(60)
+
+
+def test_simhash_near_pairs_complete_at_radius_8(spark, sf_dir):
+    """Recall-completeness at hamming 8 (the driver entry's radius): the
+    chunk-equality candidate join must find EXACTLY the pairs a brute
+    force O(n^2) hamming scan finds — the old fixed 4-chunk split only
+    guaranteed radius 3 and silently dropped pairs differing in all four
+    chunks."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 8
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    assert got == brute
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(5)
@@ -146,6 +179,51 @@ def test_embedding_near_dup_pairs(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(vectors, dim=64, threshold=0.9).collect()}
     assert (100, 101) in pairs and (100, 102) in pairs
     assert all(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_scale_shape_assign_parity(vectors, spark):
+    """The pandas-UDF assignment paths (the plan-size-safe shape for
+    production dims) must agree with the literal-expression paths, and
+    the dispatch must pick the pandas path once n*dim exceeds the
+    literal budget."""
+    from pyspark_codesearch.operators.simsearch import (
+        LITERAL_BUDGET,
+        deterministic_centroids,
+        hyperplanes,
+        bucket_expr,
+        ivf_assign,
+    )
+
+    cents = deterministic_centroids(vectors, 8)
+    lit = {r["vec_id"]: r["cell"] for r in ivf_assign(vectors, cents, use_pandas=False).collect()}
+    pdw = {r["vec_id"]: r["cell"] for r in ivf_assign(vectors, cents, use_pandas=True).collect()}
+    assert lit == pdw and len(lit) == 53
+
+    planes = hyperplanes(64, 8, 977)
+    a = vectors.select("vec_id", bucket_expr("embedding", planes, use_pandas=False).alias("b"))
+    b = vectors.select("vec_id", bucket_expr("embedding", planes, use_pandas=True).alias("b"))
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    # dispatch: a production shape (n_cells*dim > budget) goes to Arrow and
+    # the plan does NOT embed n_cells*dim literals
+    rng = np.random.default_rng(11)
+    big_cents = [[float(x) for x in rng.standard_normal(256)] for _ in range(32)]
+    assert 32 * 256 > LITERAL_BUDGET
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(256)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    df = ivf_assign(big, big_cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert df.count() == 10
+
+
+def test_deterministic_centroids_empty(spark):
+    from pyspark_codesearch.operators.simsearch import deterministic_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert deterministic_centroids(empty, 4) == []
 
 
 def test_ivf_topk_recall(vectors):
