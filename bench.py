@@ -112,6 +112,13 @@ def main():
     term_stats = build_term_stats(postings).cache()
     term_stats.count()
 
+    # Query sessions run with AQE OFF: the scorer plans are small fixed-
+    # shape cogroups/joins over cached inputs, and AQE's runtime re-
+    # planning only adds per-query latency (measured +10-15% per query).
+    # The build above keeps AQE on (skew backstop). Restored before the
+    # dedup/relational sections, which want the skew-join safety net.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     timed("bm25_batch", lambda: [
         bm25_topk(postings, doc_lens, term_stats, stats, q, 10).collect()
         for q in BENCH_QUERIES
@@ -134,10 +141,13 @@ def main():
 
     def one_wand(q):
         dfs, salts = td.lookup(tokenize_py(q))
+        # salt_group_factor: latency-bound single queries amortize python
+        # task dispatch over coarser groups (the batch path below keeps
+        # G=1 — its per-task compute is large enough to want all cores)
         return wand_topk(
             segments, doc_lens, term_stats, stats, q, 10,
             salt_range=salt_range, lens_by_salt=lens_by_salt,
-            df_lookup=dfs, salt_lookup=salts,
+            df_lookup=dfs, salt_lookup=salts, salt_group_factor=16,
         ).collect()
 
     timed("wand_batch", lambda: [one_wand(q) for q in BENCH_QUERIES])
@@ -159,6 +169,8 @@ def main():
     timed("bm25_batch_oneplan", lambda: bm25_topk_batch(
         postings, doc_lens, term_stats, stats, qmap, 10,
     ).collect())
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     from pyspark_codesearch.operators.dedup import lsh_candidate_pairs
     from pyspark_codesearch.operators.relational import pricing_summary, revenue_by_nation

@@ -30,6 +30,16 @@ from ..analysis import duckdb_tokens_expr, tokens_col
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# Documented (n_hashes, n_bands) presets from the S-curve calculus in
+# lsh_candidate_pairs: threshold ~ (1/n_bands)^(n_bands/n_hashes).
+# "fixture" sizes the test corpus; corpus-scale near-dup passes pick
+# "recall" (threshold ~0.42, r=4) or "precision" (threshold ~0.71, r=8).
+LSH_PRESETS: dict[str, tuple[int, int]] = {
+    "fixture": (16, 4),
+    "recall": (128, 32),
+    "precision": (128, 16),
+}
 SHINGLE = 3
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
@@ -136,6 +146,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    scale_preset: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) sharing at least one LSH band. doc_a < doc_b.
 
@@ -150,6 +161,8 @@ def lsh_candidate_pairs(
     band keys are md5 of r minhashes. Both production shapes are
     exercised in tests.
     """
+    if scale_preset is not None:
+        n_hashes, n_bands = LSH_PRESETS[scale_preset]
     rows = n_hashes // n_bands
     sig = minhash_signatures(docs, id_col, text_col, n_hashes)
     bands = sig.select(

@@ -106,7 +106,10 @@ def _score_salt(
     # term_stats side table, not duplicated into segment rows)
     terms = []
     for term, g in seg_pdf.groupby("term", sort=True):
-        g = g.sort_values("block_id")
+        # (salt, block_id): a coarse-grouped task (salt_group_factor > 1)
+        # holds several salts' block runs; doc-range salting makes the
+        # concatenation ascending in doc_id, so one fused decode still works
+        g = g.sort_values(["salt", "block_id"])
         w = qtf[term] * _idf(n_docs, float(dfs[term]))
         # impact_scale > 1 after index upserts shifted avgdl: stored block
         # maxima were computed with built_avgdl, scaling keeps the MaxScore
@@ -280,8 +283,18 @@ def wand_topk(
     df_lookup: dict[str, int] | None = None,
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
     impact_scale: float = 1.0,
+    salt_group_factor: int = 1,
 ) -> DataFrame:
-    """Top-k (doc_id, score) via pruned scoring over compressed segments."""
+    """Top-k (doc_id, score) via pruned scoring over compressed segments.
+
+    ``salt_group_factor`` (G) coarsens the cogroup key to ``salt // G``:
+    fewer, larger python scorer tasks. For latency-bound single queries
+    the per-task dispatch (python worker + Arrow round trip) dominates —
+    G in the 8-64 range measurably cuts per-query wall time — while
+    throughput batches keep G=1 for full parallelism. Exactness is
+    unaffected (per-task doc ranges stay disjoint; scores identical —
+    pinned by tests). Per-task memory grows with G: the scorer's dl
+    array spans at most G * salt_range doc ids."""
     spark = segments.sparkSession
     qtf = {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
     if not qtf:
@@ -319,12 +332,19 @@ def wand_topk(
         return _score_salt(seg_pdf, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b,
                            impact_scale=impact_scale)
 
+    gkey = _group_key(salt_group_factor)
     per_salt = (
-        seg.groupBy("salt")
-        .cogroup(lens.groupBy("salt"))
+        seg.groupBy(gkey)
+        .cogroup(lens.groupBy(gkey))
         .applyInPandas(score_fn, "doc_id long, score double")
     )
     return per_salt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _group_key(salt_group_factor: int):
+    if salt_group_factor <= 1:
+        return F.col("salt")
+    return (F.col("salt") / F.lit(int(salt_group_factor))).cast("int").alias("sg")
 
 
 def wand_topk_batch(

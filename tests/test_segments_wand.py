@@ -182,6 +182,25 @@ def test_wand_pruned_residents_match_unpruned(env):
         assert [tuple(r) for r in pruned1] == [tuple(r) for r in plain1], q
 
 
+@pytest.mark.parametrize("g", [2, 4, 100])
+def test_wand_salt_group_factor_exact(env, g):
+    """Coarse cogroup keys (salt_group_factor) are a pure task-dispatch
+    optimization: results must be identical to G=1 at any factor,
+    including one coarser than the salt count."""
+    for q in ["parse json string", "return data index query token merge sort hash"]:
+        base = wand_topk(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            q, 10, salt_range=SALT_RANGE,
+        ).collect()
+        coarse = wand_topk(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            q, 10, salt_range=SALT_RANGE, salt_group_factor=g,
+        ).collect()
+        assert [r["doc_id"] for r in coarse] == [r["doc_id"] for r in base], (q, g)
+        for c, b in zip(coarse, base):
+            assert c["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
 def test_term_dictionary_filtered_lookups(env):
     """The driver-resident term dictionary must (a) return the same df /
     salt sets as the full collects, (b) send ONLY the query's terms to
