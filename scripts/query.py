@@ -58,10 +58,17 @@ def main() -> None:
         # directory level), then the term IN-filter prunes row groups
         all_terms = {t for q in args.query for t in tokenize_py(q)}
         segments = load_segments_for_terms(spark, ix, all_terms)
+        # after upserts shift avgdl, stored block maxima need scaling for
+        # pruning to stay lossless (no-op scale=1.0 on a fresh build)
+        scale = 1.0
+        if os.path.isdir(f"{ix}/_lineage"):
+            from pyspark_codesearch.lineage import impact_scale
+
+            scale = impact_scale(ix, stats.avgdl)
         out = wand_topk_batch(
             segments, doc_lens, term_stats, stats,
             {f"q{i}": q for i, q in enumerate(args.query)}, args.k,
-            salt_range=args.salt_range,
+            salt_range=args.salt_range, impact_scale=scale,
         )
     for r in out.collect():
         print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],

@@ -110,6 +110,29 @@ def test_bucketed_ingest_has_no_single_partition_exchange(spark):
     assert FORBIDDEN not in p
 
 
+def test_delete_by_ids_broadcasts_anti_join(spark, sf_dir):
+    """DELETE-by-id must never shuffle the big side: broadcast left-anti."""
+    from pyspark_codesearch.operators.merge import delete_by_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_str(delete_by_ids(docs, [3, 42, 99], key="doc_id"))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p
+    assert "Exchange hashpartitioning" not in p, "big side must not shuffle"
+
+
+def test_merge_upsert_single_key_shuffle(spark, sf_dir):
+    """Keyed MERGE: exactly one hash shuffle on the key (the window);
+    no sort-merge join, no cross product."""
+    from pyspark_codesearch.operators.merge import merge_upsert
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", F.substring("text", 1, 8).alias("payload"))
+    delta = base.filter(F.col("doc_id") % 7 == 0)
+    p = plan_str(merge_upsert(base, delta, key="doc_id"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "CartesianProduct" not in p and FORBIDDEN not in p
+
+
 def test_arrow_udf_nodes_are_vectorized(spark, sf_dir):
     from pyspark_codesearch.operators.textstats import token_counts
 
