@@ -407,22 +407,36 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     seed: int = 977,
+    n_bands: int = 1,
 ) -> DataFrame:
     """(id_a, id_b, cos >= threshold) via LSH-bucket self-join candidates.
 
-    Exactness caveat (documented): pairs in different buckets are missed;
-    with 8 planes and cos >= 0.9 the collision probability per plane is
-    1 - acos(0.9)/pi ~ 0.856, bucket match ~ 0.29 — mine more seeds/bands
-    at scale. Tests pin behavior on planted near-dup vectors.
+    Recall calculus (documented caveat): per plane, two vectors with
+    cos >= 0.9 agree with prob 1 - acos(0.9)/pi ~ 0.856; an 8-plane
+    bucket matches with ~0.29. ``n_bands`` independent plane sets (seeds
+    seed, seed+1, ...) union their candidate pairs, lifting recall to
+    1-(1-0.29)^B (~0.75 at B=4, ~0.94 at B=8) at linearly growing
+    candidate cost — the same (b, r) tradeoff as MinHash-LSH. The join
+    key is (band, bucket), so one equi-join serves every band; never an
+    all-pairs product. Tests pin recall floors on planted near-dups.
     """
-    b = hyperplane_lsh_buckets(embeddings, dim, id_col, vec_col, n_planes, seed)
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).join(b, "vec_id")
-    a, c = e.alias("a"), e.alias("b")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            bucket_expr("v", hyperplanes(dim, n_planes, seed + band)).alias("bucket"),
+        )
+        for band in range(max(1, int(n_bands)))
+    ]
+    bucketed = e.select("vec_id", "v", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, c = bucketed.alias("a"), bucketed.alias("b")
     pairs = (
-        a.join(c, F.col("a.bucket") == F.col("b.bucket"))
+        a.join(c, ["band", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),

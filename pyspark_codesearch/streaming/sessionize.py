@@ -1,0 +1,100 @@
+"""Stateful streaming sessionization via applyInPandasWithState.
+
+The streaming counterpart of operators/relational.sessionize_events
+(same gap rule, same integer-cents value sums): per-user state carries
+the open session across micro-batches; a session CLOSES (and is emitted,
+append-mode) when a later event arrives more than ``gap_minutes`` after
+the previous one, or when the processing-time timeout fires for an idle
+user. This is the custom-stateful-operator shape Structured Streaming
+cannot express with windowed aggs (session windows keyed on dynamic
+gaps + custom accumulators).
+
+Scale notes: state is per user_id — one small fixed-size row each —
+sharded by the stream's groupBy hash; a skewed user costs one task, not
+a shuffle storm. Timestamps are integer epoch MICROSECONDS end-to-end
+(the repo's timestamp-math convention); money sums are integer cents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT = (
+    "user_id long, session_id long, n_events long, session_value double, "
+    "start_us long, end_us long"
+)
+SESSION_STATE = "session_id long, start_us long, last_us long, n_events long, cents long"
+
+
+def _close(user_id, sid, start, last, n, cents) -> dict:
+    return {
+        "user_id": user_id,
+        "session_id": sid,
+        "n_events": n,
+        "session_value": cents / 100.0,
+        "start_us": start,
+        "end_us": last,
+    }
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """events(user_id, ts timestamp, value double) stream -> CLOSED
+    sessions (append mode). ``idle_timeout_ms`` also closes sessions for
+    users with no events for that long of processing time (None = only a
+    newer event closes a session)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                sid, start, last, n, cents = state.get
+                state.remove()
+                yield pd.DataFrame([_close(user_id, sid, start, last, n, cents)])
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic replay: order by event time, then event id if present
+        sort_cols = ["ts_us"] + (["event_id"] if "event_id" in batch.columns else [])
+        batch = batch.sort_values(sort_cols)
+        if state.exists:
+            sid, start, last, n, cents = state.get
+        else:
+            sid, start, last, n, cents = 0, None, None, 0, 0
+        out: list[dict] = []
+        for ts_us, c in zip(batch["ts_us"].astype("int64"), batch["cents"].astype("int64")):
+            ts_us, c = int(ts_us), int(c)
+            if last is not None and ts_us - last > gap_us:
+                out.append(_close(user_id, sid, start, last, n, cents))
+                sid, start, n, cents = sid + 1, ts_us, 0, 0
+            if start is None:
+                start = ts_us
+            last, n, cents = ts_us, n + 1, cents + c
+        state.update((sid, start, last, n, cents))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    prepped = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        *([F.col("event_id")] if "event_id" in events.columns else []),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_OUTPUT, SESSION_STATE, "append", timeout
+    )

@@ -181,6 +181,40 @@ def test_embedding_near_dup_pairs(vectors):
     assert all(a >= 100 and b >= 100 for a, b in pairs)
 
 
+def test_embedding_near_dup_multiband_recall(spark):
+    """Multi-seed bands lift near-dup recall: with 30 planted cos>=0.9
+    pairs, B=4 bands must (a) be a superset of B=1's pairs, (b) clear a
+    recall floor B=1 provably misses (single 8-plane bucket match is
+    ~29% per pair)."""
+    rng = np.random.default_rng(21)
+    rows = []
+    planted = []
+    for i in range(30):
+        base = rng.standard_normal(64)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in base + 0.15 * rng.standard_normal(64)]))
+        planted.append((2 * i, 2 * i + 1))
+    for i in range(60, 90):
+        rows.append((i + 100, [float(x) for x in rng.standard_normal(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    def found(n_bands):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, dim=64, threshold=0.9, n_bands=n_bands
+            ).collect()
+        }
+        return got
+
+    one, four = found(1), found(4)
+    assert one <= four
+    hits1 = sum(1 for p in planted if p in one)
+    hits4 = sum(1 for p in planted if p in four)
+    assert hits4 > hits1, (hits1, hits4)
+    assert hits4 >= 0.6 * len(planted), (hits1, hits4)
+
+
 def test_scale_shape_assign_parity(vectors, spark):
     """The pandas-UDF assignment paths (the plan-size-safe shape for
     production dims) must agree with the literal-expression paths, and
