@@ -328,6 +328,13 @@ def deterministic_centroids(
     return cents
 
 
+# engine-resident coarse quantizers: deterministic_centroids is a fixed
+# function of the table contents, so repeated ivf_topk calls over the
+# same (session, plan, n_cells) reuse the centroid list instead of
+# re-running the Lloyd iterations' distributed aggs per query
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -342,7 +349,12 @@ def ivf_topk(
     """IVF ANN: probe the n_probe cells nearest to the query, exact
     cosine re-rank on candidates only. Lossy (recall pinned by tests)."""
     if centroids is None:
-        centroids = deterministic_centroids(embeddings, n_cells, vec_col, id_col)
+        key = (id(embeddings.sparkSession), embeddings.semanticHash(), n_cells, vec_col)
+        if key not in _CENTROID_CACHE:
+            _CENTROID_CACHE[key] = deterministic_centroids(
+                embeddings, n_cells, vec_col, id_col
+            )
+        centroids = _CENTROID_CACHE[key]
     q = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
     probes = [int(i) for i in order[:n_probe]]
