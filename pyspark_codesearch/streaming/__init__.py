@@ -7,4 +7,9 @@ checkpoint), and the events table gets a watermarked windowed
 aggregation as the streaming-analytics surface.
 """
 
-from .incremental import incremental_index, windowed_event_counts  # noqa: F401
+from .incremental import (  # noqa: F401
+    compact_delta_into_index,
+    incremental_index,
+    windowed_event_counts,
+)
+from .sessionize import sessionize_stream  # noqa: F401

@@ -82,6 +82,37 @@ def incremental_index(
     return q
 
 
+def compact_delta_into_index(
+    spark: SparkSession, index_dir: str, delta_dir: str, *, salt_range: int = 1 << 20
+) -> dict:
+    """Fold the streamed ``docs_delta`` into a lineage-built base index —
+    the compaction half of the streaming story (reference analogue: the
+    periodic full reindex, full_pipeline.py; Iceberg analogue: rewriting
+    delta files into the base snapshot).
+
+    Uses :func:`pyspark_codesearch.lineage.upsert_index`, so: delta docs
+    whose ids exist in the base REPLACE their postings exactly once, new
+    ids insert, only affected term-hash buckets rewrite, and re-running
+    the compaction with an unchanged delta is a fingerprint-matched
+    no-op (idempotent, like the at-least-once batch writes upstream).
+    If a doc was re-streamed across batches, the LATEST batch_id wins.
+    """
+    from pyspark.sql import Window
+
+    from ..corpus import ingest_documents_df
+    from ..lineage import upsert_index
+
+    dd = spark.read.parquet(f"{delta_dir}/docs_delta")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    latest = (
+        dd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id", "sha256", "doc_len")
+    )
+    delta = ingest_documents_df(latest)
+    return upsert_index(spark, index_dir, delta, salt_range=salt_range)
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     *,
