@@ -150,7 +150,19 @@ def main():
             df_lookup=dfs, salt_lookup=salts, salt_group_factor=16,
         ).collect()
 
-    timed("wand_batch", lambda: [one_wand(q) for q in BENCH_QUERIES])
+    # per-query latencies for p50/p99 (the baseline metric is stated as
+    # top-k latency percentiles): best-of-N per query, percentile across
+    # the query set
+    per_query_best: dict[str, float] = {}
+
+    def wand_all():
+        for q in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            one_wand(q)
+            el = time.perf_counter() - t0
+            per_query_best[q] = min(per_query_best.get(q, el), el)
+
+    timed("wand_batch", wand_all)
 
     qmap = {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}
 
@@ -209,6 +221,10 @@ def main():
                 "wand_batch_sec_per_query": round(
                     timings["wand_batch_oneplan"] / len(BENCH_QUERIES), 4
                 ),
+                "wand_p50_sec": round(
+                    sorted(per_query_best.values())[len(per_query_best) // 2], 4
+                ),
+                "wand_p99_sec": round(max(per_query_best.values()), 4),
                 "cpus": int(cpus),
             }
         )
