@@ -255,16 +255,32 @@ def build_index_resumable(
 
 def _swap_dir(path: str, write_fn) -> None:
     """Write to a staging dir, then swap it in (read-path-safe: Spark
-    cannot overwrite a parquet dir it is reading from)."""
+    cannot overwrite a parquet dir it is reading from).
+
+    Crash windows: a crash between the two renames leaves `path` absent
+    but `.staging` complete — :func:`_recover_swap` (called on entry)
+    finishes the swap, so a killed upsert resumes cleanly."""
     import shutil
 
     tmp, old = path + ".staging", path + ".old"
+    _recover_swap(path)
     shutil.rmtree(tmp, ignore_errors=True)
     write_fn(tmp)
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_swap(path: str) -> None:
+    """If a previous swap crashed between renames (path gone, staging
+    written), complete it; a leftover .old is stale and removable."""
+    import shutil
+
+    tmp, old = path + ".staging", path + ".old"
+    if not os.path.exists(path) and os.path.exists(tmp):
+        os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
 
 
@@ -295,6 +311,7 @@ def upsert_index(
     *,
     deleted_ids: list[int] | None = None,
     salt_range: int = 1 << 20,
+    fail_after_units: int | None = None,
 ) -> dict:
     """Apply a keyed upsert (+ deletes) to a built index, incrementally.
 
@@ -356,32 +373,51 @@ def upsert_index(
     def run_unit(unit, fn, extra=None):
         if unit_done(out_dir, unit, delta_fp):
             return False
+        if fail_after_units is not None and executed["n"] >= fail_after_units:
+            raise BuildInterrupted(f"injected failure after {executed['n']} units")
         t0 = time.perf_counter()
         rows = fn()
         commit_unit(out_dir, unit, delta_fp, rows, (time.perf_counter() - t0) * 1000, extra)
         executed["n"] += 1
         return True
 
-    # ---- affected terms: old versions' tokens + delta's tokens
-    from .analysis import tokens_col
+    # ---- affected terms: old versions' tokens + delta's tokens.
+    # Committed as the FIRST unit: a crash after the docs swap loses the
+    # old versions' content, so a resumed upsert must read the plan from
+    # the manifest, not recompute it from the (already-replaced) docs.
+    plan_path = _manifest_path(out_dir, "upsert_plan")
+    if unit_done(out_dir, "upsert_plan", delta_fp):
+        with open(plan_path) as f:
+            plan = json.load(f)
+        affected_terms = plan["affected_terms"]
+        affected_buckets = plan["affected_buckets"]
+    else:
+        from .analysis import tokens_col
 
-    old_terms = {
-        r["t"]
-        for r in base_docs.filter(F.col("doc_id").isin(affected_ids))
-        .select(F.explode(tokens_col("content")).alias("t"))
-        .distinct()
-        .collect()
-    }
-    new_terms = (
-        {
+        old_terms = {
             r["t"]
-            for r in delta_docs.select(F.explode("tokens").alias("t")).distinct().collect()
+            for r in base_docs.filter(F.col("doc_id").isin(affected_ids))
+            .select(F.explode(tokens_col("content")).alias("t"))
+            .distinct()
+            .collect()
         }
-        if delta_docs is not None
-        else set()
-    )
-    affected_terms = sorted(old_terms | new_terms)
-    affected_buckets = buckets_for_terms(spark, affected_terms, n_buckets)
+        new_terms = (
+            {
+                r["t"]
+                for r in delta_docs.select(F.explode("tokens").alias("t"))
+                .distinct()
+                .collect()
+            }
+            if delta_docs is not None
+            else set()
+        )
+        affected_terms = sorted(old_terms | new_terms)
+        affected_buckets = buckets_for_terms(spark, affected_terms, n_buckets)
+        commit_unit(
+            out_dir, "upsert_plan", delta_fp, len(affected_terms), 0.0,
+            extra={"affected_terms": affected_terms, "affected_buckets": affected_buckets},
+        )
+        executed["n"] += 1
 
     # ---- stage 1: docs table (merge + delete), then doc_lens + stats
     def do_docs():

@@ -50,13 +50,13 @@ def _load(spark, out):
     return segs, doc_lens, term_stats, CorpusStats(int(st["n_docs"]), float(st["avgdl"]))
 
 
-def _wand(spark, out, q, k=10, scale=1.0):
+def _wand(spark, out, q, k=10, scale=1.0, salt_range=SALT_RANGE):
     segs, doc_lens, term_stats, stats = _load(spark, out)
     return [
         (r["doc_id"], r["score"])
         for r in wand_topk(
             segs, doc_lens, term_stats, stats, q, k,
-            salt_range=SALT_RANGE, impact_scale=scale,
+            salt_range=salt_range, impact_scale=scale,
         ).collect()
     ]
 
@@ -206,3 +206,45 @@ def _seg_manifests(out):
             with open(os.path.join(md, fn)) as f:
                 res[b] = json.load(f)
     return res
+
+
+def test_upsert_crash_resume(spark, tmp_path):
+    """A killed upsert resumes to the same result as an uninterrupted
+    one: the upsert plan (affected terms/buckets) is manifest-committed
+    BEFORE the docs swap, so the resume never needs the replaced old
+    content; a crash between _swap_dir renames is also recovered."""
+    from pyspark_codesearch.lineage import BuildInterrupted
+
+    out = str(tmp_path / "cr")
+    fresh = str(tmp_path / "cr_fresh")
+    docs = ingest(corpus_df(spark, 80, seed=13)).cache()
+    build_index_resumable(docs, out, n_buckets=2, salt_range=32)
+
+    delta = _delta(spark)
+    # crash after (plan, docs) units — docs table already swapped, the
+    # old content of the modified docs is GONE
+    with pytest.raises(BuildInterrupted):
+        upsert_index(spark, out, delta, deleted_ids=[2], salt_range=32,
+                     fail_after_units=2)
+    res = upsert_index(spark, out, delta, deleted_ids=[2], salt_range=32)
+    assert res["executed_units"] > 0
+
+    merged = (
+        docs.filter(~F.col("doc_id").isin(MOD_IDS + [2]))
+        .unionByName(
+            _delta(spark).select(
+                *[
+                    (F.col(c) if c in _delta(spark).columns
+                     else F.lit(None).cast(dict(docs.dtypes)[c])).alias(c)
+                    for c in docs.columns
+                ]
+            )
+        )
+    )
+    build_index_resumable(merged, fresh, n_buckets=2, salt_range=32)
+    st = spark.read.parquet(f"{out}/stats").collect()[0]
+    scale = impact_scale(out, float(st["avgdl"]))
+    for q in ["merge sort scan", "upserterm 900005", "parse json stream"]:
+        got = _wand(spark, out, q, scale=scale, salt_range=32)
+        want = _wand(spark, fresh, q, salt_range=32)
+        assert [d for d, _ in got] == [d for d, _ in want], q
