@@ -30,6 +30,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
@@ -221,10 +223,15 @@ def main():
                 "wand_batch_sec_per_query": round(
                     timings["wand_batch_oneplan"] / len(BENCH_QUERIES), 4
                 ),
+                # true interpolated percentiles over the per-query bests
+                # (with 8 distinct queries p99 is effectively the max —
+                # labeled as the percentile it is, computed as one)
                 "wand_p50_sec": round(
-                    sorted(per_query_best.values())[len(per_query_best) // 2], 4
+                    float(np.percentile(list(per_query_best.values()), 50)), 4
                 ),
-                "wand_p99_sec": round(max(per_query_best.values()), 4),
+                "wand_p99_sec": round(
+                    float(np.percentile(list(per_query_best.values()), 99)), 4
+                ),
                 "cpus": int(cpus),
             }
         )

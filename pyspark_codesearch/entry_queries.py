@@ -497,7 +497,19 @@ register("simsearch_ivf_fullprobe", ORACLE_SQL["simsearch_cosine_topk"])(
 # (exactly like the cosine oracle's query vector) and the multiprobe set
 # becomes bit_count(xor(bucket, qbucket)) <= 1; recall floors vs brute
 # force stay pinned in pytest. Embedding dim is 64 at every SF (TESTDATA).
-register("simsearch_ann_lsh", _ss.ann_topk_sql(64, k=20, multiprobe=1))(
+# Lazy: the query-side bucket + norm are embedded as the EXACT numpy
+# literals the Spark path computes (read from the compare SF's vec 0), so
+# no engine recomputation can diverge at a sign/rounding boundary.
+def _ann_lsh_oracle() -> str:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = [float(x) for x in t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py()]
+    return _ss.ann_topk_sql(len(qv), k=20, multiprobe=1, query_vec=qv)
+
+
+register("simsearch_ann_lsh", _ann_lsh_oracle)(
     lambda spark, sf_dir: _ss.ann_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         _query_vec(spark, sf_dir), k=20, multiprobe=1,

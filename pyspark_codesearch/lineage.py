@@ -335,8 +335,24 @@ def upsert_index(
     from .operators.merge import merge_upsert
 
     deleted_ids = list(deleted_ids or [])
+    # recover any swap a previous run crashed in the middle of BEFORE
+    # touching the tables (a mid-rename kill leaves only .staging behind)
+    for t in ("docs", "doc_lens", "stats", "term_stats"):
+        _recover_swap(os.path.join(out_dir, t))
+    # derive bucket paths from .staging/.old names too: a mid-swap kill
+    # can leave ONLY bucket=N.staging on disk
+    seen = set()
+    for d in list(os.listdir(f"{out_dir}/postings")):
+        name = d.removesuffix(".staging").removesuffix(".old")
+        if name.startswith("bucket=") and name not in seen:
+            seen.add(name)
+            _recover_swap(os.path.join(out_dir, "postings", name))
     n_buckets = len(
-        [d for d in os.listdir(f"{out_dir}/postings") if d.startswith("bucket=")]
+        [
+            d
+            for d in os.listdir(f"{out_dir}/postings")
+            if d.startswith("bucket=") and not d.endswith((".staging", ".old"))
+        ]
     )
     base_docs = spark.read.parquet(f"{out_dir}/docs")
     if delta_docs is None:
@@ -357,6 +373,13 @@ def upsert_index(
     affected_ids = sorted(set(delta_keys) | set(int(i) for i in deleted_ids))
     if not affected_ids:
         return {"out_dir": out_dir, "affected_buckets": [], "executed_units": 0}
+
+    # small broadcast side tables replace isin(...) literal lists — a
+    # realistic delta has 1e4+ affected ids/terms and Catalyst plan size
+    # is O(literals) (the same blowup LITERAL_BUDGET guards in simsearch)
+    ids_df = F.broadcast(
+        spark.createDataFrame([(i,) for i in affected_ids], "doc_id long")
+    )
 
     # delta fingerprint: content of the upsert, not of the base
     import hashlib as _hl
@@ -396,7 +419,7 @@ def upsert_index(
 
         old_terms = {
             r["t"]
-            for r in base_docs.filter(F.col("doc_id").isin(affected_ids))
+            for r in base_docs.join(ids_df, "doc_id", "left_semi")
             .select(F.explode(tokens_col("content")).alias("t"))
             .distinct()
             .collect()
@@ -425,7 +448,10 @@ def upsert_index(
         if delta_plain is not None:
             merged = merge_upsert(base_docs, delta_plain, key="doc_id").drop("src")
         if deleted_ids:
-            merged = merged.filter(~F.col("doc_id").isin(deleted_ids))
+            dels = F.broadcast(
+                spark.createDataFrame([(i,) for i in deleted_ids], "doc_id long")
+            )
+            merged = merged.join(dels, "doc_id", "left_anti")
         merged = merged.cache()
         n = merged.count()
         _swap_dir(f"{out_dir}/docs", lambda p: merged.write.parquet(p))
@@ -459,7 +485,7 @@ def upsert_index(
 
         def do_bucket(b=b):
             path = f"{out_dir}/postings/bucket={b}"
-            keep = spark.read.parquet(path).filter(~F.col("doc_id").isin(affected_ids))
+            keep = spark.read.parquet(path).join(ids_df, "doc_id", "left_anti")
             part = keep
             if delta_postings is not None:
                 part = keep.unionByName(
@@ -474,14 +500,18 @@ def upsert_index(
         run_unit(f"upsert_postings/bucket={b}", do_bucket)
 
     # ---- stage 3: term_stats (incremental: only affected terms recount)
+    terms_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in affected_terms], "term string")
+    )
+
     def do_term_stats():
-        kept = spark.read.parquet(f"{out_dir}/term_stats").filter(
-            ~F.col("term").isin(affected_terms)
+        kept = spark.read.parquet(f"{out_dir}/term_stats").join(
+            terms_df, "term", "left_anti"
         )
         touched = (
             spark.read.option("basePath", f"{out_dir}/postings")
             .parquet(*[f"{out_dir}/postings/bucket={b}" for b in affected_buckets])
-            .filter(F.col("term").isin(affected_terms))
+            .join(terms_df, "term", "left_semi")
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )

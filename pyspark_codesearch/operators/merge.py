@@ -33,7 +33,10 @@ def merge_upsert(base: DataFrame, delta: DataFrame, key: str = "doc_id") -> Data
     cols = base.columns
     d = delta.select(*cols).withColumn("src", F.lit(0))
     b = base.select(*cols).withColumn("src", F.lit(1))
-    w = Window.partitionBy(key).orderBy("src")
+    # tie-break beyond src by every remaining column: if a caller passes a
+    # delta with duplicate keys, the winner is still deterministic
+    # (lexicographically smallest row) instead of partition-order luck
+    w = Window.partitionBy(key).orderBy("src", *[c for c in cols if c != key])
     return (
         d.unionByName(b)
         .withColumn("_rn", F.row_number().over(w))

@@ -172,16 +172,26 @@ def ann_topk_sql(
     multiprobe: int = 1,
     ref_vec_id: int = 0,
     round_to: int = 4,
+    query_vec: list[float] | None = None,
 ) -> str:
     """DuckDB oracle for :func:`ann_topk` with the query vector taken from
     the embeddings view (vec_id = ref_vec_id).
 
     The seeded hyperplanes are driver-side constants, so they embed as SQL
-    literals (exactly as cosine_topk_sql embeds the query vector). Buckets
-    are computed as integers (bit pid = sign of plane-pid dot product, the
-    same sequential fold as the Spark column path), and the multiprobe set
-    "query bucket + every bucket within hamming distance m" becomes
-    ``bit_count(xor(bucket, qbucket)) <= m``."""
+    literals (exactly as cosine_topk_sql embeds the query vector). Corpus
+    buckets are computed as integers (bit pid = sign of plane-pid dot
+    product — the same sequential fold as the Spark column path), and the
+    multiprobe set "query bucket + every bucket within hamming distance m"
+    becomes ``bit_count(xor(bucket, qbucket)) <= m``.
+
+    When ``query_vec`` is given, the QUERY-side quantities are embedded as
+    the exact literals the Spark path uses — qbucket from np.dot signs
+    (ann_topk's probe computation) and the norm from np.linalg.norm
+    (cosine_topk's denominator) — eliminating the last-ulp divergence
+    between numpy's pairwise summation and DuckDB's sequential list_sum
+    (the LIMIT-boundary failure class CLAUDE.md documents). Without it,
+    both are recomputed in SQL from the view (sign flips need a plane dot
+    within ~1e-15 of zero; acceptable for ad-hoc use)."""
     planes = hyperplanes(dim, n_planes, seed)
     pvals = ", ".join(
         "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
@@ -191,6 +201,27 @@ def ann_topk_sql(
         "list_sum(list_transform(list_zip({a}, {b}), "
         "z -> z[1]::DOUBLE * z[2]::DOUBLE))"
     )
+    if query_vec is not None:
+        qb = sum(
+            (1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) >= 0
+        )
+        qbucket_cte = f"qbucket AS (SELECT {qb}::BIGINT AS qb)"
+        qn = repr(float(np.linalg.norm(query_vec)))
+        denom = (
+            f"(sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * {qn})"
+        )
+    else:
+        qbucket_cte = f"""qbits AS (
+  SELECT p.pid,
+         CASE WHEN {dot.format(a="q.qe", b="p.pvec")} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM planes p CROSS JOIN q
+),
+qbucket AS (SELECT sum(bit * (1 << pid))::BIGINT AS qb FROM qbits)"""
+        denom = (
+            "(sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+            " * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))))"
+        )
     return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {ref_vec_id}),
 planes(pid, pvec) AS (VALUES {pvals}),
@@ -200,20 +231,13 @@ ebits AS (
   FROM embeddings e CROSS JOIN planes p
 ),
 ebucket AS (SELECT vec_id, sum(bit * (1 << pid))::BIGINT AS b FROM ebits GROUP BY vec_id),
-qbits AS (
-  SELECT p.pid,
-         CASE WHEN {dot.format(a="q.qe", b="p.pvec")} >= 0 THEN 1 ELSE 0 END AS bit
-  FROM planes p CROSS JOIN q
-),
-qbucket AS (SELECT sum(bit * (1 << pid))::BIGINT AS qb FROM qbits),
+{qbucket_cte},
 cands AS (
   SELECT vec_id FROM ebucket, qbucket WHERE bit_count(xor(b, qb)) <= {int(multiprobe)}
 ),
 scored AS (
   SELECT e.vec_id,
-         {dot.format(a="e.embedding", b="q.qe")}
-         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
-            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS c
+         {dot.format(a="e.embedding", b="q.qe")} / {denom} AS c
   FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN q
 )
 SELECT vec_id, round(c, {round_to}) AS cos
@@ -349,7 +373,18 @@ def ivf_topk(
     """IVF ANN: probe the n_probe cells nearest to the query, exact
     cosine re-rank on candidates only. Lossy (recall pinned by tests)."""
     if centroids is None:
-        key = (id(embeddings.sparkSession), embeddings.semanticHash(), n_cells, vec_col)
+        # key = (session, plan hash, DATA files, params): semanticHash
+        # alone misses table rewrites at the same path (this repo's own
+        # upsert/compaction), so the actual input file list is hashed in;
+        # id_col matters because it orders the deterministic seed rows
+        try:
+            files = hash(tuple(sorted(embeddings.inputFiles())))
+        except Exception:  # non-file-backed plans (e.g. createDataFrame)
+            files = None
+        key = (
+            id(embeddings.sparkSession), embeddings.semanticHash(), files,
+            n_cells, vec_col, id_col,
+        )
         if key not in _CENTROID_CACHE:
             _CENTROID_CACHE[key] = deterministic_centroids(
                 embeddings, n_cells, vec_col, id_col

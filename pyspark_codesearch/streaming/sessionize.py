@@ -58,8 +58,13 @@ def sessionize_stream(
         if state.hasTimedOut:
             if state.exists:
                 sid, start, last, n, cents = state.get
-                state.remove()
-                yield pd.DataFrame([_close(user_id, sid, start, last, n, cents)])
+                # keep the session COUNTER (a removed state would restart
+                # session_id at 0 and re-emit already-used (user, sid)
+                # keys); the empty-session sentinel (start=None, n=0) is
+                # one tiny row per idle user and never re-emits
+                state.update((sid + 1, None, None, 0, 0))
+                if n > 0:
+                    yield pd.DataFrame([_close(user_id, sid, start, last, n, cents)])
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
         # deterministic replay: order by event time, then event id if present
