@@ -5,23 +5,37 @@ analyzer ``paper_analyzer`` = standard tokenizer + lowercase + ``_english_``
 stopwords — reference data_pipeline/es_indexer.py:69-76 — extended with
 code-aware splitting per BASELINE.json input_hint):
 
-1. split CamelCase boundaries      ``fooBar`` -> ``foo Bar``,
+0. NFC-normalize (decomposed "café" == precomposed "café" — a real
+   multilingual corpus mixes forms; ES normalizes at the char-filter
+   layer). JVM path: java.text.Normalizer via the checked-in 1 KB Java
+   UDF jar (jars/SparkGraftNfc.java); pandas: Series.str.normalize;
+   python: unicodedata; DuckDB: nfc_normalize.
+1. CJK segmentation, UAX#29-style (what ES ``standard`` does):
+   - Han ideographs and Hiragana: one token PER CHARACTER (Lucene
+     StandardTokenizer emits IDEOGRAPHIC/HIRAGANA single-char tokens)
+   - Katakana and Hangul: runs stay together (WB13 chains Katakana;
+     Hangul LV/LVT syllables chain) but split from ADJACENT other-script
+     letters ("wifiワイファイ" -> ``wifi`` + ``ワイファイ``)
+   Covered blocks: Hiragana (minus combining voicing marks), CJK Unified
+   + Ext A + compat + supplementary-plane Ext B..G, Katakana + phonetic
+   ext, Hangul syllables + jamo + compat jamo + jamo ext A/B. Rare
+   ideographic iteration marks (々 〇) are out of scope — documented
+   deviation, they fall through as ordinary letters.
+2. split CamelCase boundaries      ``fooBar`` -> ``foo Bar``,
                                    ``HTTPServer`` -> ``HTTP Server``
    (ASCII-only by design: camelCase is an ASCII identifier convention)
-2. split letter<->digit boundaries ``utf8`` -> ``utf 8``, ``2fa`` -> ``2 fa``
-3. lowercase
-4. split on any run of characters outside Unicode Letter/Number classes
-   (underscores, punctuation, whitespace, symbols, combining marks) —
-   the UAX#29-approximation of the reference's ES ``standard`` tokenizer
-   (es_indexer.py:69-76): "café" -> ``café``, "Москва-сити" ->
-   ``москва``/``сити``, CJK ideograph runs stay one token per run
-   (true UAX#29 would segment CJK per character — documented deviation)
-5. drop empty tokens and the 33 classic Lucene English stopwords
+3. split letter<->digit boundaries ``utf8`` -> ``utf 8``, ``2fa`` -> ``2 fa``
+4. lowercase
+5. split on any run of characters outside Unicode Letter/Number classes
+   (underscores, punctuation, whitespace, symbols, combining marks):
+   "café" -> ``café``, "Москва-сити" -> ``москва``/``сити``
+6. drop empty tokens and the 33 classic Lucene English stopwords
 
 Implementations (ALL must agree; see tests/test_analysis.py):
 
-- :func:`tokens_col`     — pure Column expression (JVM, whole-stage codegen;
-                           the fast path used by the index build)
+- :func:`tokens_col`     — pure Column expression (JVM, whole-stage codegen)
+                           + the one-call JVM NFC UDF; the fast path used
+                           by the index build
 - :func:`tokenize_pandas_udf` — Arrow-vectorized pandas UDF (the north-rule
                            mandated form; same output)
 - :func:`tokenize_py`    — pure python (shared by the rank-identity oracle)
@@ -30,7 +44,10 @@ Implementations (ALL must agree; see tests/test_analysis.py):
 
 from __future__ import annotations
 
+import os
 import re
+import unicodedata
+from weakref import WeakSet
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -44,6 +61,28 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 _STOP_SET = frozenset(ENGLISH_STOPWORDS)
 
+# ------------------------------------------------------------ CJK segmentation
+# Character-class bodies are built from python escapes, so the SAME pattern
+# string (actual UTF-8 chars, incl. surrogate pairs for the supplementary
+# planes) feeds Java regex, python re, pandas, and DuckDB's RE2 — all three
+# engines match ranges by code point.
+_HAN_HIRA = (
+    "ぁ-ゖゝ-ゟ"            # Hiragana (not ゙-゜ marks)
+    "㐀-䶿一-鿿豈-﫿"  # Han: Ext A, Unified, compat
+    "\U00020000-\U0002fa1f\U00030000-\U0003134f"  # Han: Ext B..F+compat, Ext G
+)
+_KATAKANA = "ァ-ヺー-ヿㇰ-ㇿ"  # incl. ー, phonetic ext
+_HANGUL = "가-힣ᄀ-ᇿㄱ-ㆎꥠ-꥿ힰ-퟿"
+
+# (pattern, java_replacement, python/duckdb_replacement); per-char classes
+# wrap each char in spaces, run classes wrap the whole run — spaces are
+# separators for the final split, so this IS the token boundary insertion
+_CJK_RULES: tuple[tuple[str, str, str], ...] = (
+    (f"([{_HAN_HIRA}])", " $1 ", " \\1 "),
+    (f"([{_KATAKANA}]+)", " $1 ", " \\1 "),
+    (f"([{_HANGUL}]+)", " $1 ", " \\1 "),
+)
+
 # (pattern, java_replacement, python/duckdb_replacement)
 _BOUNDARY_RULES: tuple[tuple[str, str, str], ...] = (
     (r"([a-z])([A-Z])", r"$1 $2", r"\1 \2"),
@@ -51,25 +90,81 @@ _BOUNDARY_RULES: tuple[tuple[str, str, str], ...] = (
     (r"([A-Za-z])([0-9])", r"$1 $2", r"\1 \2"),
     (r"([0-9])([A-Za-z])", r"$1 $2", r"\1 \2"),
 )
+_ALL_RULES = _CJK_RULES + _BOUNDARY_RULES
 # one split SPEC, two regex dialects (parity-tested across all four impls):
 # Java and RE2 express "outside Letter/Number" as [^\p{L}\p{N}]+; python re
 # has no \p classes, but \w == Unicode L* + N* + '_' (str.isalnum + _), so
-# [\W_]+ is the same character set. Both treat combining marks (Mn) as
-# separators — decomposed "café" splits, NFC "café" does not; normalize
-# upstream if mixed forms matter.
+# [\W_]+ is the same character set. Combining marks (Mn) are separators —
+# harmless after step 0: NFC composes the common sequences first.
 _SPLIT_PATTERN_JAVA = r"[^\p{L}\p{N}]+"
 _SPLIT_PATTERN_PY = r"[\W_]+"
+
+
+# --------------------------------------------------------------- NFC (JVM UDF)
+_NFC_JAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "jars", "spark-graft-nfc.jar"
+)
+_NFC_UDF = "spark_graft_nfc"
+_nfc_ready: WeakSet = WeakSet()
+_nfc_failed: WeakSet = WeakSet()
+
+
+def _nfc_pandas_col(c: Column) -> Column:
+    """Arrow fallback: NFC via pandas (used when no active session exists
+    at column-construction time or the Java UDF cannot register)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(lambda t: t if t is None or t.isascii() else unicodedata.normalize("NFC", t))
+
+    return _nfc(c)
+
+
+def ensure_nfc_udf(spark) -> bool:
+    """Register the JVM NFC UDF on this session (idempotent). Returns
+    True when call_udf('spark_graft_nfc', ...) is usable."""
+    if spark in _nfc_ready:
+        return True
+    if spark in _nfc_failed:
+        return False
+    try:
+        from pyspark.sql.types import StringType
+
+        spark.sql(f"ADD JAR '{_NFC_JAR}'")
+        spark.udf.registerJavaFunction(_NFC_UDF, "SparkGraftNfc", StringType())
+        _nfc_ready.add(spark)
+        return True
+    except Exception:
+        _nfc_failed.add(spark)
+        return False
+
+
+def nfc_col(col: Column | str) -> Column:
+    """NFC-normalize a string column. JVM-side (java.text.Normalizer via
+    the checked-in jars/spark-graft-nfc.jar, one ScalaUDF call — no
+    python boundary, with an isNormalized quick-check so ASCII/NFC input
+    is pass-through); Arrow pandas fallback otherwise."""
+    from pyspark.sql import SparkSession
+
+    c = F.col(col) if isinstance(col, str) else col
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if spark is not None and ensure_nfc_udf(spark):
+        return F.call_udf(_NFC_UDF, c)
+    return _nfc_pandas_col(c)
 
 
 # ---------------------------------------------------------------- column expr
 def tokens_col(col: Column | str, *, keep_stopwords: bool = False) -> Column:
     """array<string> of analyzed tokens, as a pure Column expression.
 
-    Stays inside whole-stage codegen — no python boundary. This is the
-    index-build hot path.
+    Stays inside whole-stage codegen — the only non-codegen call is the
+    single JVM NFC UDF. This is the index-build hot path.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    for pat, java_rep, _ in _BOUNDARY_RULES:
+    c = nfc_col(col)
+    for pat, java_rep, _ in _ALL_RULES:
         c = F.regexp_replace(c, pat, java_rep)
     arr = F.split(F.lower(c), _SPLIT_PATTERN_JAVA)
     if keep_stopwords:
@@ -82,7 +177,8 @@ def tokens_col(col: Column | str, *, keep_stopwords: bool = False) -> Column:
 def tokenize_series(s, *, keep_stopwords: bool = False):
     """pandas Series[str] -> Series[list[str]] — vectorized .str ops only."""
     s = s.fillna("")
-    for pat, _, py_rep in _BOUNDARY_RULES:
+    s = s.map(lambda t: t if t.isascii() else unicodedata.normalize("NFC", t))
+    for pat, _, py_rep in _ALL_RULES:
         s = s.str.replace(pat, py_rep, regex=True)
     toks = s.str.lower().str.split(_SPLIT_PATTERN_PY, regex=True)
     if keep_stopwords:
@@ -102,7 +198,7 @@ def tokenize_pandas_udf():
 
 
 # ---------------------------------------------------------------- pure python
-_PY_RULES = [(re.compile(p), r) for p, _, r in _BOUNDARY_RULES]
+_PY_RULES = [(re.compile(p), r) for p, _, r in _ALL_RULES]
 _PY_SPLIT = re.compile(_SPLIT_PATTERN_PY)
 
 
@@ -110,6 +206,8 @@ def tokenize_py(text: str, *, keep_stopwords: bool = False) -> list[str]:
     """Pure-python implementation — imported by the oracle AND the tests."""
     if not text:
         return []
+    if not text.isascii():
+        text = unicodedata.normalize("NFC", text)
     for pat, rep in _PY_RULES:
         text = pat.sub(rep, text)
     toks = _PY_SPLIT.split(text.lower())
@@ -121,8 +219,8 @@ def tokenize_py(text: str, *, keep_stopwords: bool = False) -> list[str]:
 # ---------------------------------------------------------------- duckdb SQL
 def duckdb_tokens_expr(col_sql: str, *, keep_stopwords: bool = False) -> str:
     """DuckDB SQL expression producing the same array<string> of tokens."""
-    e = col_sql
-    for pat, _, rep in _BOUNDARY_RULES:
+    e = f"nfc_normalize({col_sql})"
+    for pat, _, rep in _ALL_RULES:
         e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
     e = f"string_split_regex(lower({e}), '{_SPLIT_PATTERN_JAVA}')"
     if keep_stopwords:
