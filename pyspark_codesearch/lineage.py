@@ -292,15 +292,25 @@ def impact_scale(out_dir: str, current_avgdl: float) -> float:
     tf/(tf+c_now) <= tf/(tf+c_built) * (c_built/c_now) and
     c_built/c_now <= avgdl_now/avgdl_built, so scaling every stored bound
     by max(1, avgdl_now/avgdl_built) keeps MaxScore pruning lossless
-    (scores themselves are always computed exactly from current lens)."""
+    (scores themselves are always computed exactly from current lens).
+
+    Raises ValueError when a segments manifest lacks built_avgdl (an
+    index built before that field existed): silently returning 1.0 there
+    would make MaxScore pruning UNSOUND after an avgdl-increasing upsert
+    — rebuild the bucket (or the index) to restore the invariant."""
     scale = 1.0
     mdir = _manifest_dir(out_dir)
     for fn in os.listdir(mdir):
         if fn.startswith("segments__") and fn.endswith(".json"):
             with open(os.path.join(mdir, fn)) as f:
                 built = json.load(f).get("built_avgdl")
-            if built:
-                scale = max(scale, float(current_avgdl) / float(built))
+            if not built:
+                raise ValueError(
+                    f"segments manifest {fn} lacks built_avgdl — cannot derive "
+                    "a sound MaxScore bound; rebuild this bucket before "
+                    "relying on impact-scaled pruning"
+                )
+            scale = max(scale, float(current_avgdl) / float(built))
     return scale
 
 
@@ -309,7 +319,7 @@ def upsert_index(
     out_dir: str,
     delta_docs: DataFrame | None = None,
     *,
-    deleted_ids: list[int] | None = None,
+    deleted_ids: list[int] | DataFrame | None = None,
     salt_range: int = 1 << 20,
     fail_after_units: int | None = None,
 ) -> dict:
@@ -322,19 +332,37 @@ def upsert_index(
 
     1. docs/doc_lens/stats: base MERGE delta MINUS deletes (keyed window).
     2. affected terms = tokens of the OLD versions (re-derived from the
-       stored docs — a handful of point lookups) UNION the delta's tokens;
-       affected buckets = their term-hash buckets.
+       stored docs — a semi-join against the delta ids) UNION the delta's
+       tokens; persisted as a PARQUET plan side table (never a driver
+       list — a 1% re-ingest wave of a 10^12-doc corpus has ~1e6+ distinct
+       terms); affected buckets = their term-hash buckets (bounded by
+       n_buckets, so those DO live in the manifest JSON).
     3. per affected postings bucket: drop rows of upserted/deleted doc_ids,
        append the delta's postings — one staged swap per bucket.
     4. term_stats: untouched terms keep their rows; affected terms get df
-       recomputed from the rewritten buckets only.
+       recomputed from the rewritten buckets only (joins against the plan
+       table, not literal lists).
     5. per affected segments bucket: rebuild from the new postings with
        CURRENT stats; manifests record built_avgdl for impact_scale().
+
+    Guards:
+    - a doc_id present in BOTH delta_docs and deleted_ids raises
+      ValueError (applying both is ambiguous, and silently doing so would
+      leave ghost postings whose doc has no doc_lens row);
+    - an INTERRUPTED prior upsert with a different fingerprint raises
+      RuntimeError: its docs table may already be swapped while postings
+      are stale, and a different delta would silently orphan the
+      interrupted delta's stale postings forever — resume the prior
+      upsert (same delta) to completion first.
+
+    ``deleted_ids`` accepts a python list (typical delete sets) or a
+    single-column DataFrame of doc_ids (scale path — never collected).
+    Query-side note: driver-resident state (TermDictionary, cached lens)
+    snapshots the pre-upsert index; invalidate()/rebuild it afterwards.
     """
     from .indexing import build_postings_with_dl
     from .operators.merge import merge_upsert
 
-    deleted_ids = list(deleted_ids or [])
     # recover any swap a previous run crashed in the middle of BEFORE
     # touching the tables (a mid-rename kill leaves only .staging behind)
     for t in ("docs", "doc_lens", "stats", "term_stats"):
@@ -355,9 +383,20 @@ def upsert_index(
         ]
     )
     base_docs = spark.read.parquet(f"{out_dir}/docs")
+
+    if deleted_ids is None:
+        dels_df = None
+    elif isinstance(deleted_ids, DataFrame):
+        dels_df = deleted_ids.toDF("doc_id").select(F.col("doc_id").cast("long"))
+    else:
+        dels_df = (
+            spark.createDataFrame([(int(i),) for i in deleted_ids], "doc_id long")
+            if deleted_ids
+            else None
+        )
+
     if delta_docs is None:
         delta_plain = None
-        delta_keys: list[int] = []
     else:
         # align to the stored docs schema; columns the delta doesn't carry
         # (e.g. repo/path metadata on a content-only re-ingest) become NULL
@@ -369,28 +408,62 @@ def upsert_index(
                 for c in base_docs.columns
             ]
         )
-        delta_keys = [int(r["doc_id"]) for r in delta_docs.select("doc_id").collect()]
-    affected_ids = sorted(set(delta_keys) | set(int(i) for i in deleted_ids))
-    if not affected_ids:
-        return {"out_dir": out_dir, "affected_buckets": [], "executed_units": 0}
 
-    # small broadcast side tables replace isin(...) literal lists — a
-    # realistic delta has 1e4+ affected ids/terms and Catalyst plan size
-    # is O(literals) (the same blowup LITERAL_BUDGET guards in simsearch)
-    ids_df = F.broadcast(
-        spark.createDataFrame([(i,) for i in affected_ids], "doc_id long")
-    )
+    # delta fingerprint: content of the upsert, not of the base. All
+    # components are order-independent aggregates (counts + decimal sums
+    # of per-row hashes) so no id or sha list ever materializes on the
+    # driver — ANSI-safe: xxhash64 sums are cast to decimal(38,0) first.
+    def _fp_agg(df: DataFrame, *hash_cols: str) -> list:
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias(f"h_{c}")
+            for c in hash_cols
+        ]
+        r = df.agg(*aggs).collect()[0]
+        return [str(x) for x in r]
 
-    # delta fingerprint: content of the upsert, not of the base
     import hashlib as _hl
 
-    fp_src = json.dumps({"ids": affected_ids, "dels": sorted(deleted_ids)})
+    parts: dict = {}
     if delta_docs is not None:
-        sh = delta_docs.agg(
-            F.sha2(F.concat_ws("", F.sort_array(F.collect_list("sha256"))), 256).alias("fp")
-        ).collect()[0]["fp"]
-        fp_src += ":" + (sh or "")
-    delta_fp = _hl.sha256(fp_src.encode()).hexdigest()[:16]
+        parts["delta"] = _fp_agg(delta_docs, "doc_id", "sha256")
+        n_delta = int(parts["delta"][0])
+    else:
+        n_delta = 0
+    if dels_df is not None:
+        parts["dels"] = _fp_agg(dels_df, "doc_id")
+        n_dels = int(parts["dels"][0])
+    else:
+        n_dels = 0
+    if n_delta == 0 and n_dels == 0:
+        return {"out_dir": out_dir, "affected_buckets": [], "executed_units": 0}
+    delta_fp = _hl.sha256(json.dumps(parts, sort_keys=True).encode()).hexdigest()[:16]
+
+    # refuse to start a DIFFERENT upsert while a prior one is interrupted
+    _check_no_inprogress_upsert(out_dir, delta_fp)
+
+    # upsert+delete of the same id in one call is ambiguous — and applying
+    # both would re-append the deleted doc's postings after its doc_lens
+    # row is gone (ghost postings that corrupt scoring). Refuse loudly.
+    if delta_plain is not None and dels_df is not None:
+        overlap = (
+            delta_plain.select("doc_id")
+            .join(F.broadcast(dels_df), "doc_id", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "doc_ids appear in BOTH delta_docs and deleted_ids — split the "
+                "call (delete first, then upsert) to make the intent explicit"
+            )
+
+    # affected ids side table (delta keys ∪ deletes) — broadcast into the
+    # per-bucket anti-joins; realistic deltas (1e4-1e6 ids) broadcast fine
+    # and Catalyst plan size stays O(1), unlike isin(...) literal lists
+    id_frames = [f.select("doc_id") for f in (delta_plain, dels_df) if f is not None]
+    ids_all = id_frames[0] if len(id_frames) == 1 else id_frames[0].union(id_frames[1])
+    ids_df = F.broadcast(ids_all.distinct())
+
     executed = {"n": 0}
 
     def run_unit(unit, fn, extra=None):
@@ -407,38 +480,50 @@ def upsert_index(
     # ---- affected terms: old versions' tokens + delta's tokens.
     # Committed as the FIRST unit: a crash after the docs swap loses the
     # old versions' content, so a resumed upsert must read the plan from
-    # the manifest, not recompute it from the (already-replaced) docs.
-    plan_path = _manifest_path(out_dir, "upsert_plan")
+    # durable storage, not recompute it from the (already-replaced) docs.
+    # The terms themselves are a PARQUET side table keyed by the delta
+    # fingerprint (a re-ingest wave's distinct vocabulary would OOM a
+    # driver-side JSON list); the manifest JSON carries only the
+    # fingerprint, the term count, and the (<= n_buckets) bucket ids.
+    plan_data = _plan_dir(out_dir, delta_fp)
     if unit_done(out_dir, "upsert_plan", delta_fp):
-        with open(plan_path) as f:
+        with open(_manifest_path(out_dir, "upsert_plan")) as f:
             plan = json.load(f)
-        affected_terms = plan["affected_terms"]
         affected_buckets = plan["affected_buckets"]
+        n_terms = int(plan["rows"])
     else:
         from .analysis import tokens_col
 
-        old_terms = {
-            r["t"]
-            for r in base_docs.join(ids_df, "doc_id", "left_semi")
-            .select(F.explode(tokens_col("content")).alias("t"))
-            .distinct()
-            .collect()
-        }
-        new_terms = (
-            {
-                r["t"]
-                for r in delta_docs.select(F.explode("tokens").alias("t"))
-                .distinct()
-                .collect()
-            }
-            if delta_docs is not None
-            else set()
+        old_terms = (
+            base_docs.join(ids_df, "doc_id", "left_semi")
+            .select(F.explode(tokens_col("content")).alias("term"))
         )
-        affected_terms = sorted(old_terms | new_terms)
-        affected_buckets = buckets_for_terms(spark, affected_terms, n_buckets)
+        frames = [old_terms]
+        if delta_docs is not None:
+            frames.append(delta_docs.select(F.explode("tokens").alias("term")))
+        terms_plan = (
+            frames[0] if len(frames) == 1 else frames[0].union(frames[1])
+        ).distinct().withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+        # prior upserts completed (checked above) — their plan data is dead
+        import shutil as _sh
+
+        for d in os.listdir(_manifest_dir(out_dir)) if os.path.isdir(_manifest_dir(out_dir)) else []:
+            if d.startswith("upsert_plan_data_") and d != os.path.basename(plan_data):
+                _sh.rmtree(os.path.join(_manifest_dir(out_dir), d), ignore_errors=True)
+        # plan data lands BEFORE its manifest commits: a crash mid-write
+        # leaves an uncommitted unit and the (still-unswapped) docs table
+        # lets the resume recompute the plan from scratch
+        t0 = time.perf_counter()
+        terms_plan.write.mode("overwrite").parquet(plan_data)
+        terms_plan = spark.read.parquet(plan_data)
+        affected_buckets = sorted(
+            int(r["bucket"]) for r in terms_plan.select("bucket").distinct().collect()
+        )
+        n_terms = terms_plan.count()
         commit_unit(
-            out_dir, "upsert_plan", delta_fp, len(affected_terms), 0.0,
-            extra={"affected_terms": affected_terms, "affected_buckets": affected_buckets},
+            out_dir, "upsert_plan", delta_fp, n_terms,
+            (time.perf_counter() - t0) * 1000,
+            extra={"affected_buckets": affected_buckets, "plan_data": plan_data},
         )
         executed["n"] += 1
 
@@ -447,11 +532,8 @@ def upsert_index(
         merged = base_docs
         if delta_plain is not None:
             merged = merge_upsert(base_docs, delta_plain, key="doc_id").drop("src")
-        if deleted_ids:
-            dels = F.broadcast(
-                spark.createDataFrame([(i,) for i in deleted_ids], "doc_id long")
-            )
-            merged = merged.join(dels, "doc_id", "left_anti")
+        if dels_df is not None:
+            merged = merged.join(F.broadcast(dels_df), "doc_id", "left_anti")
         merged = merged.cache()
         n = merged.count()
         _swap_dir(f"{out_dir}/docs", lambda p: merged.write.parquet(p))
@@ -499,9 +581,12 @@ def upsert_index(
 
         run_unit(f"upsert_postings/bucket={b}", do_bucket)
 
-    # ---- stage 3: term_stats (incremental: only affected terms recount)
-    terms_df = F.broadcast(
-        spark.createDataFrame([(t,) for t in affected_terms], "term string")
+    # ---- stage 3: term_stats (incremental: only affected terms recount).
+    # The plan table joins in distributed; broadcast only while it is
+    # small enough that shipping beats shuffling (AQE handles the rest).
+    terms_plan_df = spark.read.parquet(plan_data).select("term")
+    terms_df = (
+        F.broadcast(terms_plan_df) if n_terms <= 2_000_000 else terms_plan_df
     )
 
     def do_term_stats():
@@ -547,10 +632,42 @@ def upsert_index(
     return {
         "out_dir": out_dir,
         "affected_buckets": affected_buckets,
-        "affected_terms": len(affected_terms),
+        "affected_terms": n_terms,
         "executed_units": executed["n"],
         "stats": stats,
     }
+
+
+def _plan_dir(out_dir: str, delta_fp: str) -> str:
+    return os.path.join(_manifest_dir(out_dir), f"upsert_plan_data_{delta_fp}")
+
+
+def _upsert_terminal_unit(plan: dict) -> str:
+    buckets = plan.get("affected_buckets") or []
+    return f"segments/bucket={buckets[-1]}" if buckets else "upsert_term_stats"
+
+
+def _check_no_inprogress_upsert(out_dir: str, delta_fp: str) -> None:
+    """Refuse a different-fingerprint upsert while a prior one is
+    interrupted: its docs table may already be swapped while postings are
+    stale, and starting a different delta would silently discard the
+    interrupted plan — the replaced docs' stale postings would then
+    survive forever with no error. Resume the prior delta to completion
+    (same delta_docs/deleted_ids => same fingerprint) first."""
+    p = _manifest_path(out_dir, "upsert_plan")
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        plan = json.load(f)
+    prior_fp = plan.get("input_fingerprint")
+    if prior_fp == delta_fp:
+        return
+    if not unit_done(out_dir, _upsert_terminal_unit(plan), prior_fp):
+        raise RuntimeError(
+            f"an interrupted upsert (fingerprint {prior_fp}) is in progress on "
+            f"{out_dir}; resume it to completion with the SAME delta before "
+            f"applying a different one (got fingerprint {delta_fp})"
+        )
 
 
 def delete_from_index(

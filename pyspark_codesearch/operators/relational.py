@@ -210,20 +210,25 @@ FROM events GROUP BY day ORDER BY day
 def approx_distinct_users(spark, sf_dir) -> DataFrame:
     """A3: HLL approx distinct, restructured to be oracle-checkable: the
     approximate value itself is engine-defined, so the driver-compared
-    columns are the EXACT count plus a bounded-relative-error boolean
-    (|approx - exact| / exact <= 2%; rsd=0.01 so the bound has slack)."""
+    columns are the EXACT count plus a BUCKETED relative-error bound.
+    rsd=0.01 puts the observed error well under 2%, so the 5% bucket has
+    wide slack — and if Spark's HLL ever drifts past it, the row goes red
+    showing 10 (or 100) instead of an undiagnosable boolean flip."""
     ev = _t(spark, sf_dir, "events")
+    rel = F.abs(
+        F.approx_count_distinct("user_id", 0.01) - F.countDistinct("user_id")
+    ) / F.countDistinct("user_id")
     return ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
-        (
-            F.abs(F.approx_count_distinct("user_id", 0.01) - F.countDistinct("user_id"))
-            <= 0.02 * F.countDistinct("user_id")
-        ).alias("within_2pct"),
+        F.when(rel <= 0.05, F.lit(5))
+        .when(rel <= 0.10, F.lit(10))
+        .otherwise(F.lit(100))
+        .alias("rel_err_le_pct"),
     )
 
 
 APPROX_DISTINCT_USERS_SQL = """
-SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_2pct FROM events
+SELECT count(DISTINCT user_id) AS exact_users, 5 AS rel_err_le_pct FROM events
 """
 
 

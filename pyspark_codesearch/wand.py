@@ -214,6 +214,15 @@ class TermDictionary:
     the resident dict is bounded by the QUERIED vocabulary, not the
     corpus vocabulary. ``fetched_terms`` records every term ever sent to
     a filtered collect — tests assert it never exceeds the query terms.
+
+    Staleness: the dictionary snapshots (df, salts) at lookup time. After
+    ANY index mutation (lineage.upsert_index / delete_from_index /
+    compact_delta_into_index) call :meth:`invalidate` — or rebuild the
+    dictionary from fresh reads — before the next query, or lookups
+    return pre-mutation df (wrong idf) and pre-mutation salt sets
+    (new salts silently skipped). For file-backed indexes the safest
+    move is a fresh TermDictionary over fresh ``spark.read`` frames:
+    a DataFrame object pins the file listing it was planned with.
     """
 
     def __init__(self, term_stats: DataFrame, segments: DataFrame):
@@ -229,6 +238,16 @@ class TermDictionary:
         self._salts: dict[str, tuple[int, ...]] = {}
         self._miss: set[str] = set()
         self.fetched_terms: set[str] = set()
+
+    def invalidate(self) -> None:
+        """Drop every cached lookup (positive AND negative) and the cached
+        distributed side table, forcing recomputation from the underlying
+        frames on the next lookup. Call after any index mutation."""
+        self._side.unpersist()
+        self._side = self._side.cache()
+        self._df.clear()
+        self._salts.clear()
+        self._miss.clear()
 
     def lookup(self, terms) -> tuple[dict[str, int], dict[str, tuple[int, ...]]]:
         want = set(terms)
