@@ -291,7 +291,9 @@ def _hex60_to_long(col):
     return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, ordered: bool = True
+) -> DataFrame:
     """(doc_id, simhash long) — 60-bit, tf-weighted, md5 token hashes.
 
     Pure column-expression implementation: explode tokens -> tf ->
@@ -317,7 +319,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             -F.col("tf")
         ),
     )
-    return (
+    out = (
         bits.groupBy("doc_id", "b")
         .agg(F.sum("w").alias("s"))
         .groupBy("doc_id")
@@ -328,11 +330,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
-def simhash_pandas(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_pandas(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, ordered: bool = True
+) -> DataFrame:
     """Bit-identical to :func:`simhash`, but as ONE Arrow-batched map —
     zero shuffles, no 60x bit fanout.
 
@@ -370,11 +374,10 @@ def simhash_pandas(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     def _sig(s):
         return pd.Series(s.map(sig_of), dtype="object")
 
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), _sig(F.col(text_col)).alias("simhash"))
-        .filter(F.col("simhash").isNotNull())
-        .orderBy("doc_id")
-    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), _sig(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+    return out.orderBy("doc_id") if ordered else out
 
 
 def simhash_sql(text_col: str = "text") -> str:
@@ -415,7 +418,13 @@ def chunk_plan(max_hamming: int) -> tuple[int, int]:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    *,
+    signatures: DataFrame | None = None,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming<=max_hamming) via chunk-equality join.
 
@@ -423,9 +432,21 @@ def simhash_near_pairs(
     the pigeonhole recall guarantee holds at any requested radius — a
     fixed 4-chunk split is only complete up to hamming 3. The candidate
     join is an equi-join (shuffle on chunk value), never a cross product.
+
+    Signatures ride the shuffle-free Arrow path (:func:`simhash_pandas`,
+    bit-identical to the column-expr :func:`simhash` — parity-pinned) by
+    default, so the ONLY shuffles in the plan are the chunk equi-join and
+    the candidate distinct — the 100 TB shape. Pass ``use_pandas=False``
+    for the pure-JVM signature (two extra groupBy shuffles), or
+    ``signatures`` (a (doc_id, simhash) frame) to reuse precomputed ones.
     """
     n_chunks, chunk_bits = chunk_plan(max_hamming)
-    sh = simhash(docs, id_col, text_col)
+    if signatures is not None:
+        sh = signatures
+    elif use_pandas:
+        sh = simhash_pandas(docs, id_col, text_col, ordered=False)
+    else:
+        sh = simhash(docs, id_col, text_col, ordered=False)
     chunks = sh.select(
         "doc_id",
         "simhash",

@@ -273,3 +273,24 @@ def test_ivf_topk_recall(vectors):
     # full probe == brute force (lossless when probing every cell)
     full = [r["vec_id"] for r in ivf_topk(vectors, q, k=5, n_cells=8, n_probe=8).collect()]
     assert full == brute
+
+
+def test_near_pairs_signature_side_shuffle_free(planted):
+    """simhash_near_pairs rides the Arrow signature path by default: the
+    chunks side of the candidate join must contain NO Exchange (the only
+    shuffles in the full plan are the equi-join + candidate distinct)."""
+    from pyspark_codesearch.operators.dedup import chunk_plan, simhash_pandas
+
+    sig = simhash_pandas(planted, ordered=False)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the pandas default equals the column-expr variant's pairs
+    a = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(planted, max_hamming=6).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(planted, max_hamming=6, use_pandas=False).collect()
+    }
+    assert a == b
