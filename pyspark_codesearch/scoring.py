@@ -34,6 +34,15 @@ def bm25_score_col(tf, df, dl, n_docs: int, avgdl: float, k1: float = K1, b: flo
     return idf * tf / (tf + k1 * (1.0 - b + b * dl / F.lit(float(max(avgdl, 1e-9)))))
 
 
+# Below this many matched query terms the per-term weights are folded
+# into the plan as a literal CASE chain instead of a broadcast-joined
+# side frame: the tiny createDataFrame + broadcast-build is a separate
+# driver job per query (~0.3s of the measured 0.85s/q at bench scale),
+# while a <=32-arm CASE costs nothing. Interactive queries are far below
+# the budget; degenerate mega-queries keep the join path.
+LITERAL_TERM_BUDGET = 32
+
+
 def bm25_topk(
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -44,32 +53,61 @@ def bm25_topk(
     *,
     k1: float = K1,
     b: float = B,
+    df_lookup: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) for a free-text query. Columns: doc_id, score."""
+    """Top-k (doc_id, score) for a free-text query. Columns: doc_id, score.
+
+    ``df_lookup`` (term -> df), e.g. from a resident wand.TermDictionary,
+    skips the per-query term_stats collect — with the literal plan path
+    that makes a single query exactly ONE Spark job (scan + agg + top-k).
+    """
     spark = postings.sparkSession
     qterms = Counter(tokenize_py(query))
     if not qterms:
         return spark.createDataFrame([], "doc_id long, score double")
-    # term-dictionary seek on the driver: df for the handful of query
-    # terms, folded into ONE broadcast (saves a second join per query)
-    dfs = {
-        r["term"]: float(r["df"])
-        for r in term_stats.filter(F.col("term").isin(list(qterms))).collect()
-    }
+    # term-dictionary seek on the driver: df for the handful of query terms
+    if df_lookup is not None:
+        dfs = {t: float(df_lookup[t]) for t in qterms if t in df_lookup}
+    else:
+        dfs = {
+            r["term"]: float(r["df"])
+            for r in term_stats.filter(F.col("term").isin(list(qterms))).collect()
+        }
     rows = [(t, float(c), dfs[t]) for t, c in qterms.items() if t in dfs]
     if not rows:
         return spark.createDataFrame([], "doc_id long, score double")
-    qdf = spark.createDataFrame(rows, "term string, qtf double, df double")
-    # broadcast tiny query-term set into the postings scan; Catalyst pushes
-    # the term IN-filter down to the parquet scan of a materialized index
-    matched = postings.join(F.broadcast(qdf), "term")
-    if "dl" not in postings.columns:  # postings_with_dl skips the join
-        matched = matched.join(
-            doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
-        )
-    scored = (
-        matched
-        .withColumn(
+
+    if len(rows) <= LITERAL_TERM_BUDGET:
+        # literal plan: term IN-filter (pushed to the scan) + one CASE
+        # expression carrying qtf * idf(df) per term — no side frame, no
+        # broadcast build, whole-stage codegen end to end
+        partial = None
+        for t, qtf, dfv in rows:
+            w = F.lit(qtf) * bm25_score_col(
+                F.col("tf").cast("double"), F.lit(dfv), F.col("dl").cast("double"),
+                stats.n_docs, stats.avgdl, k1, b,
+            )
+            partial = (
+                F.when(F.col("term") == t, w)
+                if partial is None
+                else partial.when(F.col("term") == t, w)
+            )
+        matched = postings.filter(F.col("term").isin([t for t, _, _ in rows]))
+        if "dl" not in postings.columns:
+            matched = matched.join(
+                doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+            )
+        scored = matched.withColumn("partial", partial)
+    else:
+        qdf = spark.createDataFrame(rows, "term string, qtf double, df double")
+        # broadcast tiny query-term set into the postings scan; Catalyst
+        # pushes the term IN-filter down to the parquet scan
+        matched = postings.join(F.broadcast(qdf), "term")
+        if "dl" not in postings.columns:  # postings_with_dl skips the join
+            matched = matched.join(
+                doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+            )
+        scored = matched.withColumn(
             "partial",
             F.col("qtf")
             * bm25_score_col(
@@ -82,7 +120,6 @@ def bm25_topk(
                 b,
             ),
         )
-    )
     return (
         scored.groupBy("doc_id")
         .agg(F.sum("partial").alias("score"))

@@ -171,3 +171,42 @@ def test_batch_scorer_matches_single(engine):
         assert [d for d, _ in got] == [r["doc_id"] for r in single], qid
         for (_, s), r in zip(got, single):
             assert s == pytest.approx(r["score"], abs=1e-9)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_literal_and_join_paths_identical(engine, query):
+    """The literal CASE plan (<= LITERAL_TERM_BUDGET matched terms, with
+    or without a resident df_lookup) ranks identically to the
+    broadcast-join plan; scores agree to 1e-9 (per-row partials are
+    bit-identical — verified separately — but the shuffle's float-sum
+    merge order is not deterministic, the same 1-ULP wiggle every
+    aggregation path has; driver entries round to 4dp)."""
+    from pyspark_codesearch.scoring import LITERAL_TERM_BUDGET
+    import pyspark_codesearch.scoring as scoring
+
+    k = 10
+    args = (engine["postings"], engine["doc_lens"], engine["term_stats"],
+            engine["stats"], query, k)
+    lit = [(r["doc_id"], r["score"]) for r in bm25_topk(*args).collect()]
+    # force the join path by shrinking the budget
+    old = scoring.LITERAL_TERM_BUDGET
+    try:
+        scoring.LITERAL_TERM_BUDGET = 0
+        join = [(r["doc_id"], r["score"]) for r in bm25_topk(*args).collect()]
+    finally:
+        scoring.LITERAL_TERM_BUDGET = old
+
+    def same(a, b):
+        assert [d for d, _ in a] == [d for d, _ in b], query
+        for (_, x), (_, y) in zip(a, b):
+            assert x == pytest.approx(y, abs=1e-9), query
+
+    same(lit, join)
+    # resident df lookup path
+    dfs = {r["term"]: float(r["df"]) for r in engine["term_stats"].collect()}
+    res = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(*args, df_lookup=dfs).collect()
+    ]
+    same(lit, res)
+    assert LITERAL_TERM_BUDGET > 0
