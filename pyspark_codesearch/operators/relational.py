@@ -111,7 +111,12 @@ ORDER BY total_spent DESC, custkey ASC LIMIT {k}
 
 # ---- event sessionization (gap > 30 min -> new session; lag window)
 def sessionize_events(spark, sf_dir, gap_minutes: int = 30) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    return sessionize_df(_t(spark, sf_dir, "events"), gap_minutes)
+
+
+def sessionize_df(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """The batch gap rule over any events frame (user_id, event_id, ts,
+    value) — shared by the driver entry and the stream-parity tests."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # integer epoch microseconds on both engines (ts is TIMESTAMP_NTZ;
     # session tz is UTC so the NTZ->LTZ cast is the identity)

@@ -106,3 +106,112 @@ def test_streaming_sessionize_is_append_incremental(spark, tmp_path):
     spark.createDataFrame(BATCH2, schema).coalesce(1).write.mode("append").parquet(str(src))
     second = drain(1)
     assert {(r[0], r[1]) for r in second} == {(2, 0), (1, 1)}
+
+
+# ---------------------------------------------------------------- event time
+EV_BATCH1 = [
+    _ev(1, 0, 10.0, 0), _ev(1, 5, 2.5, 1), _ev(2, 0, 7.0, 2),
+]
+EV_BATCH2 = [
+    _ev(1, 50, 1.0, 3),    # closes u1 s0 in-fn (gap 45)
+    _ev(2, 90, 3.0, 4),    # closes u2 s0 in-fn
+    _ev(1, 200, 1.0, 5),   # closes u1 s1 in-fn; watermark -> 190
+    _ev(3, 210, 5.0, 6),   # watermark -> 200: u2 s1 timer (90+30=120) fires
+]
+EV_BATCH3 = [
+    _ev(1, 100, 99.0, 7),  # LATE: older than watermark 200 -> dropped
+    _ev(9, 1000, 1.0, 8),  # watermark -> 990: u1 s2 (230), u3 s0 (240) fire
+]
+EV_BATCH4 = [
+    _ev(9, 2000, 1.0, 9),  # closes u9 s0 in-fn; u9 s1 stays open
+]
+
+EV_EXPECTED = {
+    (1, 0): (2, 12.5), (1, 1): (1, 1.0), (1, 2): (1, 1.0),
+    (2, 0): (1, 7.0), (2, 1): (1, 3.0),
+    (3, 0): (1, 5.0),
+    (9, 0): (1, 1.0),
+}
+
+
+def test_event_time_sessionize_with_late_drop(spark, tmp_path):
+    """Watermark-driven close: idle sessions close when STREAM time (not
+    the wall clock) passes last_event + gap; a late event older than the
+    watermark is dropped and cannot reopen a closed session."""
+    from pyspark_codesearch.streaming.sessionize import sessionize_stream_event_time
+
+    src = tmp_path / "ev_in"
+    ckpt = str(tmp_path / "ev_ck")
+    sink = str(tmp_path / "ev_out")
+    src.mkdir()
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    for chunk in [EV_BATCH1, EV_BATCH2, EV_BATCH3, EV_BATCH4]:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = sessionize_stream_event_time(stream, gap_minutes=30, watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    collected = [tuple(r) for r in spark.read.parquet(sink).collect()]
+    got = {(u, sid): (n, val) for (u, sid, n, val, _s, _e) in collected}
+    assert got == EV_EXPECTED
+
+
+def test_event_time_stream_matches_batch_rule(spark, tmp_path):
+    """Parity: the stream's closed sessions == the batch gap rule
+    (operators/relational.sessionize_df) over the NON-LATE events, for
+    every session the watermark has closed (per-user ordered session
+    lists compare; stream sids start at 0, batch at 1)."""
+    from pyspark_codesearch.operators.relational import sessionize_df
+    from pyspark_codesearch.streaming.sessionize import sessionize_stream_event_time
+
+    src = tmp_path / "par_in"
+    ckpt = str(tmp_path / "par_ck")
+    sink = str(tmp_path / "par_out")
+    src.mkdir()
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    for chunk in [EV_BATCH1, EV_BATCH2, EV_BATCH3, EV_BATCH4]:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sessionize_stream_event_time(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stream_rows = [tuple(r) for r in spark.read.parquet(sink).collect()]
+    per_user_stream: dict = {}
+    for u, sid, n, val, _s, _e in stream_rows:
+        per_user_stream.setdefault(u, {})[sid] = (n, val)
+
+    # batch side: same fixture minus the dropped late event
+    kept = [e for e in EV_BATCH1 + EV_BATCH2 + EV_BATCH3 + EV_BATCH4 if e[0] != 7]
+    batch = sessionize_df(spark.createDataFrame(kept, schema), gap_minutes=30)
+    per_user_batch: dict = {}
+    for r in batch.collect():
+        per_user_batch.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["session_value"])
+        )
+    for u, sessions in per_user_stream.items():
+        ordered = [sessions[sid] for sid in sorted(sessions)]
+        # the stream emits the CLOSED prefix of the batch's session list
+        assert ordered == per_user_batch[u][: len(ordered)], u
+        assert len(ordered) >= len(per_user_batch[u]) - 1  # at most the open tail
