@@ -53,6 +53,18 @@ class DocumentsEngine:
             out = out.select("doc_id", F.round("score", round_to).alias("score"))
         return out
 
+    def search_scores(self, query: str, round_to: int | None = None) -> DataFrame:
+        """ALL matching docs' BM25 scores, unordered — for consumers that
+        group/rank downstream (e.g. the A1 terms-agg entry)."""
+        from .scoring import bm25_scores
+
+        out = bm25_scores(
+            self.postings, self.doc_lens, self.term_stats, self.stats, query
+        )
+        if round_to is not None:
+            out = out.select("doc_id", F.round("score", round_to).alias("score"))
+        return out
+
     def _wand_residents(self):
         """Driver-resident query-time side state: pre-partitioned lens and
         a lazily-populated term dictionary (Lucene term-dict analogue).

@@ -76,12 +76,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant variants live in the OVERFLOW section at the bottom of this
 # module and lose nothing if the cap drops them.
 
-# query strings drawn from the documents-table vocabulary (hot multi-term,
-# camelCase needing code-aware analysis, and a query with a missing term;
-# rare/common single-term shapes moved to pytest — redundant driver slots)
+# query strings drawn from the documents-table vocabulary (hot multi-term
+# and a query with a missing term; the camelCase analyzer shape moved to
+# OVERFLOW in r4 — the analyzer is driver-covered by doc_token_stats /
+# term_frequencies — freeing the slot for the A1 bucket-order entry)
 _BM25_QUERIES = {
     "bm25_topk_scan_merge": ("table scan merge join", 20),
-    "bm25_topk_camelcase": ("tableScan mergeJoin the", 20),
     "bm25_topk_with_miss": ("filter zzznotaterm", 10),
 }
 
@@ -108,6 +108,65 @@ def _mk_wand(q, k):
 register("bm25_wand_mixed_rarity", bm25_oracle_sql("window agg stream dup", 20))(
     _mk_wand("window agg stream dup", 20)
 )
+
+
+# ---- A1: ES terms-agg bucket order (search.group_best_chunk) as a driver
+# entry. The counterintuitive reference semantics (es_indexer.py:376-397 +
+# :438): buckets survive by (doc_count DESC, key ASC) LIMIT size FIRST,
+# then the survivors re-sort by (max_score DESC, doc_count DESC, key ASC)
+# — so a high-scoring group with few matching chunks can be pruned by a
+# low-scoring prolific one. Here: documents are the "chunks", source is
+# the parent "paper" key, chunk scores are the engine's BM25 (12dp on
+# both sides so group max/tie-breaks see identical values).
+# query chosen so per-source match counts VARY (15..23 at the gate SF):
+# both the count-desc survival and the key-asc tiebreak decide buckets,
+# and the surviving set provably differs from a plain top-8-by-score
+_A1_QUERY, _A1_SIZE = "dup vector", 8
+
+
+def _a1_bucket_order_sql(query: str, size: int) -> str:
+    hits = bm25_oracle_sql(query, k=10**9, round_to=12)
+    return f"""
+WITH hits AS ({hits}),
+joined AS (
+  SELECT h.doc_id, h.score, d.source
+  FROM hits h JOIN documents d USING (doc_id)
+),
+grouped AS (
+  SELECT source,
+         count(*) AS matching_chunks,
+         max(score) AS score,
+         first(doc_id ORDER BY score DESC, doc_id ASC) AS best_chunk_id
+  FROM joined GROUP BY source
+),
+survivors AS (
+  SELECT * FROM grouped ORDER BY matching_chunks DESC, source ASC LIMIT {size}
+)
+SELECT source, matching_chunks, round(score, 4) AS best_score, best_chunk_id
+FROM survivors
+ORDER BY score DESC, matching_chunks DESC, source ASC
+"""
+
+
+@register("a1_bucket_order_best_chunk", _a1_bucket_order_sql(_A1_QUERY, _A1_SIZE))
+def a1_bucket_order_best_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search import group_best_chunk
+
+    eng = documents_engine(spark, sf_dir)
+    hits = eng.search_scores(_A1_QUERY, round_to=12).withColumnRenamed("doc_id", "id")
+    chunks = eng.docs.select(
+        "doc_id",
+        F.col("source").alias("paper_id"),
+        F.lit(0).alias("chunk_index"),
+        F.col("content").alias("chunk_text"),
+    )
+    res = group_best_chunk(hits, chunks, size=_A1_SIZE)
+    return res.select(
+        F.col("paper_id").alias("source"),
+        "matching_chunks",
+        F.round("score", 4).alias("best_score"),
+        "best_chunk_id",
+    )
 
 
 # ------------------------------------------------- analyzer-derived columns
@@ -966,6 +1025,15 @@ def j1_meta_enrich_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("bm25_wand_scan_merge", bm25_oracle_sql("table scan merge join", 20))(
     _mk_wand("table scan merge join", 20)
 )
+
+
+# camelCase-analyzer BM25 (demoted r4: the code-aware analyzer is driver-
+# covered by doc_token_stats/term_frequencies; slot given to A1 bucket order)
+def _bm25_camel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_engine(spark, sf_dir).search("tableScan mergeJoin the", 20, round_to=4)
+
+
+register("bm25_topk_camelcase", bm25_oracle_sql("tableScan mergeJoin the", 20))(_bm25_camel)
 
 # join + agg + ordered top-k (star-join shape already covered by
 # rel_revenue_by_nation; bounded top-k by longest_docs_top10)

@@ -61,6 +61,27 @@ def bm25_topk(
     skips the per-query term_stats collect — with the literal plan path
     that makes a single query exactly ONE Spark job (scan + agg + top-k).
     """
+    return bm25_scores(
+        postings, doc_lens, term_stats, stats, query,
+        k1=k1, b=b, df_lookup=df_lookup,
+    ).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_scores(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    *,
+    k1: float = K1,
+    b: float = B,
+    df_lookup: dict[str, float] | None = None,
+) -> DataFrame:
+    """ALL matching docs' scores, unordered (doc_id, score) — the
+    consumer adds its own top-k/grouping. Never use orderBy().limit(N)
+    with a sentinel-huge N for this: TakeOrderedAndProject allocates a
+    2N-slot buffer per partition."""
     spark = postings.sparkSession
     qterms = Counter(tokenize_py(query))
     if not qterms:
@@ -120,12 +141,7 @@ def bm25_topk(
                 b,
             ),
         )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("partial").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
 def bm25_topk_batch(

@@ -207,3 +207,37 @@ def test_get_chunks_for_papers_no_query(svc, oracle):
         idxs = [r["chunk_index"] for r in by_pid[pid]]
         assert idxs == sorted(idxs)
         assert [r["doc_id"] for r in by_pid[pid]] == [c.doc_id for c, _ in exp[pid]]
+
+
+def test_a1_driver_entry_prune_then_resort_bites(spark, sf_dir):
+    """The a1_bucket_order_best_chunk driver entry exercises the
+    counterintuitive ES terms-agg order for real: per-source match counts
+    VARY, and the surviving bucket set differs from a plain
+    top-size-by-score selection (a high-scoring group is pruned by a more
+    prolific one)."""
+    from pyspark_codesearch.entry_queries import (
+        _A1_QUERY,
+        _A1_SIZE,
+        a1_bucket_order_best_chunk,
+    )
+    from pyspark_codesearch.engine import documents_engine
+    from pyspark_codesearch.search import group_best_chunk
+    from pyspark.sql import functions as F
+
+    rows = a1_bucket_order_best_chunk(spark, sf_dir).collect()
+    assert len(rows) == _A1_SIZE
+    counts = {r["matching_chunks"] for r in rows}
+    assert len(counts) > 1, "query must produce varied per-source counts"
+
+    # unpruned grouping -> what a naive top-by-score would keep
+    eng = documents_engine(spark, sf_dir)
+    hits = eng.search_scores(_A1_QUERY, round_to=12).withColumnRenamed("doc_id", "id")
+    chunks = eng.docs.select(
+        "doc_id", F.col("source").alias("paper_id"),
+        F.lit(0).alias("chunk_index"), F.col("content").alias("chunk_text"),
+    )
+    all_groups = group_best_chunk(hits, chunks, size=10**6).collect()
+    by_score = sorted(
+        all_groups, key=lambda r: (-r["score"], -r["matching_chunks"], r["paper_id"])
+    )[:_A1_SIZE]
+    assert {r["source"] for r in rows} != {r["paper_id"] for r in by_score}
