@@ -10,10 +10,23 @@ indexes continuous across sections, reference position arithmetic
 mirrored exactly.
 
 Token counting: the reference uses tiktoken cl100k_base
-(document_chunker.py:45-47). tiktoken isn't in this container, so we
-gate it behind an import-try and fall back to a deterministic BPE-ish
-approximation (regex word/punct split; ~4 chars per subword token) —
-a documented deviation; tests pin the fallback.
+(document_chunker.py:45-47). tiktoken isn't installable in this
+container (no network), so counting is layered:
+
+- with tiktoken present: exact cl100k_base counts (first import branch);
+- fallback: the EXACT cl100k_base PRE-TOKENIZER regex (the public
+  pattern from the tiktoken project) segments text into the same pieces
+  the real encoder BPE-merges within. Piece boundaries therefore match
+  the reference exactly; 1-3-digit runs and contraction suffixes ('s,
+  'll, ...) are genuinely single tokens in cl100k, so those counts are
+  exact too. The only approximation left is multi-token LETTER pieces:
+  estimated as 1 token for the first 7 characters + 1 per 4 thereafter
+  (the tiktoken project's published ~4-chars/token English average).
+  Divergence is therefore bounded to long/rare words; it shifts chunk
+  SIZING slightly, never chunk-boundary logic. Run
+  scripts/tiktoken_divergence.py in any environment that has tiktoken
+  to measure the per-doc count delta and chunk-count delta on the
+  fixture corpus.
 
 Spark surface: :func:`chunk_docs` — a pandas UDF producing
 ``array<struct>`` + ``explode`` (the UDTF shape, SURVEY §2.9), fully
@@ -29,7 +42,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+(?=[A-Z])")
-_BPE_ISH = re.compile(r"\w+|[^\w\s]")
 
 try:  # pragma: no cover - tiktoken absent in this container
     import tiktoken
@@ -40,12 +52,26 @@ try:  # pragma: no cover - tiktoken absent in this container
         return len(_ENC.encode(text))
 
 except ImportError:
+    import regex as _regex
+
+    # the cl100k_base pre-tokenizer (public pattern, tiktoken project):
+    # BPE merges happen only WITHIN these pieces, so piece boundaries are
+    # exactly the reference's. Requires the `regex` module (possessive
+    # quantifiers + \p classes).
+    _CL100K_PAT = _regex.compile(
+        r"""'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}"""
+        r"""| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+"""
+    )
 
     def count_tokens(text: str) -> int:
-        """BPE-ish approximation: each word costs ceil(len/4), punct costs 1."""
+        """cl100k piece segmentation (exact) + per-piece estimate: digit
+        runs and contraction suffixes are true single tokens; letter
+        pieces cost 1 for the first 7 chars + 1 per 4 after (published
+        ~4 chars/token English average). See module docstring."""
         n = 0
-        for m in _BPE_ISH.findall(text):
-            n += max(1, math.ceil(len(m) / 4)) if m[0].isalnum() or m[0] == "_" else 1
+        for piece in _CL100K_PAT.findall(text):
+            p = piece.lstrip(" ")
+            n += 1 + max(0, math.ceil((len(p) - 7) / 4))
         return n
 
 

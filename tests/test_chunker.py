@@ -115,5 +115,12 @@ def test_token_count_fallback_deterministic():
     assert count_tokens("hello world") == count_tokens("hello world")
     assert count_tokens("") == 0
     assert count_tokens("a") == 1
-    # punctuation costs 1 each
-    assert count_tokens("a,b") == 3
+    # cl100k pre-tokenizer pieces: "a" + ",b" (a single leading
+    # non-letter merges into the following word piece — exact reference
+    # segmentation); each short piece estimates to one token
+    assert count_tokens("a,b") == 2
+    assert count_tokens("a , b") == 3
+    # 1-3 digit runs are true single tokens in cl100k
+    assert count_tokens("123456") == 2
+    # contraction suffixes are true single tokens
+    assert count_tokens("it's") == 2
