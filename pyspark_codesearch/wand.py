@@ -92,11 +92,14 @@ def _score_salt(
     prep: tuple | None = None,
     cache: dict | None = None,
     impact_scale: float = 1.0,
+    term_groups: dict[str, pd.DataFrame] | None = None,
 ) -> pd.DataFrame:
-    """MaxScore scoring of one salt. ``prep`` (base, norm_c) and ``cache``
-    (term -> decoded postings) are shared across the queries of a batch —
-    hot terms decode ONCE per salt, not once per query."""
-    if seg_pdf.empty or lens_pdf.empty:
+    """MaxScore scoring of one salt. ``prep`` (base, norm_c), ``cache``
+    (term -> (ids, query-independent contrib)) and ``term_groups`` (term
+    -> pre-sorted block rows, split ONCE per task) are shared across the
+    queries of a batch — hot terms decode and divide ONCE per group, and
+    no per-query isin/groupby re-scans the group frame."""
+    if (term_groups is None and seg_pdf.empty) or lens_pdf.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     if prep is None:
         prep = _prep_lens(lens_pdf, avgdl, k1, b)
@@ -104,29 +107,51 @@ def _score_salt(
 
     # per-term block table + max contribution C_t (df from the broadcast
     # term_stats side table, not duplicated into segment rows)
-    terms = []
-    for term, g in seg_pdf.groupby("term", sort=True):
+    if term_groups is None:
         # (salt, block_id): a coarse-grouped task (salt_group_factor > 1)
         # holds several salts' block runs; doc-range salting makes the
         # concatenation ascending in doc_id, so one fused decode still works
-        g = g.sort_values(["salt", "block_id"])
+        pairs = (
+            (term, g.sort_values(["salt", "block_id"]))
+            for term, g in seg_pdf.groupby("term", sort=True)
+        )
+    else:
+        pairs = (
+            (term, term_groups[term]) for term in sorted(qtf) if term in term_groups
+        )
+    terms = []
+    for term, g in pairs:
         w = qtf[term] * _idf(n_docs, float(dfs[term]))
         # impact_scale > 1 after index upserts shifted avgdl: stored block
         # maxima were computed with built_avgdl, scaling keeps the MaxScore
         # bound sound (lineage.impact_scale); scores stay exact either way
         c_t = w * float(g["block_max_impact"].max()) * impact_scale
         terms.append((term, w, c_t, g))
+    if not terms:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     terms.sort(key=lambda t: (-t[2], t[0]))
 
-    def decode_blocks(g: pd.DataFrame, term: str, hi_ids=None):
-        """decode (ids, tfs); optionally only blocks intersecting cand ids."""
-        if hi_ids is None:
-            if cache is not None and term in cache:
-                return cache[term]
-            out = _decode_term_blocks(g)
-            if cache is not None:
-                cache[term] = out
-            return out
+    def term_arrays(g: pd.DataFrame, term: str):
+        """(ids, contrib) where contrib = tf/(tf + norm) — the whole
+        QUERY-INDEPENDENT part of the BM25 term score. Cached per
+        (term, group): in a batch, the decode AND the division/gather
+        (the two heaviest memory-streaming ops) run once per term, not
+        once per (query, term); each query then pays one scalar
+        multiply by w = qtf * idf."""
+        if cache is not None and term in cache:
+            return cache[term]
+        ids, tfs = _decode_term_blocks(g)
+        out = (ids, tfs / (tfs + norm_c[ids - base]))
+        if cache is not None:
+            cache[term] = out
+        return out
+
+    def lookup_arrays(g: pd.DataFrame, term: str, hi_ids):
+        """(ids, contrib) restricted to blocks that can intersect the
+        candidate set. A cached full decode is strictly cheaper than a
+        fresh partial decode, so prefer it."""
+        if cache is not None and term in cache:
+            return cache[term]
         # block-range skip: keep only blocks whose [first_doc, last_doc]
         # intersects the (sorted) candidate ids, then one fused decode
         first = g["first_doc"].to_numpy(np.int64)
@@ -135,7 +160,8 @@ def _score_salt(
         keep = (j < hi_ids.size) & (hi_ids[np.minimum(j, hi_ids.size - 1)] <= last)
         if not keep.any():
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        return _decode_term_blocks(g[keep])
+        ids, tfs = _decode_term_blocks(g[keep])
+        return ids, tfs / (tfs + norm_c[ids - base])
 
     cand_ids = np.empty(0, np.int64)
     cand_scores = np.empty(0, np.float64)
@@ -155,16 +181,16 @@ def _score_salt(
             if float(sum(c_values[i:])) < theta:
                 lookup_mode = True
         if lookup_mode:
-            ids, tfs = decode_blocks(g, term, hi_ids=cand_ids)  # block-range skip
+            ids, contrib = lookup_arrays(g, term, cand_ids)
             if ids.size == 0:
                 continue
-            part = w * tfs / (tfs + norm_c[ids - base])
+            part = w * contrib
             pos = np.searchsorted(cand_ids, ids)
             hit = (pos < cand_ids.size) & (cand_ids[np.minimum(pos, cand_ids.size - 1)] == ids)
             np.add.at(cand_scores, pos[hit], part[hit])
         else:
-            ids, tfs = decode_blocks(g, term)
-            part = w * tfs / (tfs + norm_c[ids - base])
+            ids, contrib = term_arrays(g, term)
+            part = w * contrib
             all_ids = np.concatenate([cand_ids, ids])
             all_sc = np.concatenate([cand_scores, part])
             cand_ids, inv = np.unique(all_ids, return_inverse=True)
@@ -381,6 +407,7 @@ def wand_topk_batch(
     df_lookup: dict[str, int] | None = None,
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
     impact_scale: float = 1.0,
+    salt_group_factor: int | None = 1,
 ) -> DataFrame:
     """All queries in ONE cogroup pass: (query_id, rank, doc_id, score).
 
@@ -391,7 +418,17 @@ def wand_topk_batch(
     With ``salt_lookup``, each query scores ONLY inside salts its own
     terms touch (and the lens side is pruned to the batch-wide union),
     so untouched salts cost nothing.
-    """
+
+    ``salt_group_factor`` (G) coarsens the cogroup key to ``salt // G``
+    like :func:`wand_topk`; ``None`` auto-sizes for ~2 tasks per core.
+    DEFAULT IS 1 — measured (3.84M docs, 36 queries, local[2] and
+    local[8]): once the per-task python work is pre-split (term_groups)
+    and the query-independent contrib vectors are cached, finer tasks
+    win at every parallelism level (better wave balancing, smaller
+    per-task lens span); G=8 at 8 cores left half the cores idle and
+    ran 2.8x slower. Coarsening remains for latency-bound single
+    queries (:func:`wand_topk` uses G=16 in the bench). Exactness is
+    unaffected by G (doc ranges stay disjoint; pinned by tests)."""
     spark = segments.sparkSession
     qtfs = {
         qid: {t: float(c) for t, c in Counter(tokenize_py(q)).items()}
@@ -415,6 +452,7 @@ def wand_topk_batch(
     seg = segments.filter(F.col("term").isin(list(dfs)))
     lens = _lens(doc_lens, lens_by_salt, salt_range)
     qsalts = None
+    union: list[int] = []
     if salt_lookup is not None:
         union = _touched_salts(dfs, salt_lookup)
         if not union:
@@ -425,10 +463,13 @@ def wand_topk_batch(
         # per-query touched-salt sets: a query skips salts that only
         # OTHER queries' terms touch (cheap set probe per group)
         qsalts = {qid: set(_touched_salts(m, salt_lookup)) for qid, m in qtfs.items()}
+    if salt_group_factor is None:
+        # auto: ~2 scorer tasks per core (needs the touched-salt union)
+        cores = max(1, spark.sparkContext.defaultParallelism)
+        salt_group_factor = max(1, len(union) // (cores * 2)) if union else 1
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
     def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
-        salt = int(key[0])
         outs = []
         if seg_pdf.empty or lens_pdf.empty:
             return pd.DataFrame(
@@ -436,19 +477,25 @@ def wand_topk_batch(
                  "doc_id": pd.Series(dtype="int64"),
                  "score": pd.Series(dtype="float64")}
             )
-        # shared across this salt's queries: per-doc norm constants and a
-        # term -> decoded-postings cache, so a hot term shared by many
-        # queries decodes once per salt instead of once per (query, salt)
+        # salts actually present in this (possibly coarse) group — the
+        # per-query skip below intersects against them
+        group_salts = set(int(s) for s in seg_pdf["salt"].unique())
+        # shared across this group's queries: per-doc norm constants, a
+        # term -> (ids, contrib) cache (decode + divide once per group,
+        # not per query), and the frame pre-split by term ONCE (no
+        # per-query isin/groupby re-scan of the group frame)
         prep = _prep_lens(lens_pdf, avgdl, k1, b)
         cache: dict = {}
+        term_groups = {
+            t: g.sort_values(["salt", "block_id"])
+            for t, g in seg_pdf.groupby("term", sort=False)
+        }
         for qid, qtf in qtfs.items():
-            if not qtf or (qsalts is not None and salt not in qsalts[qid]):
+            if not qtf or (qsalts is not None and not (qsalts[qid] & group_salts)):
                 continue
-            sub = seg_pdf[seg_pdf["term"].isin(qtf)]
-            if sub.empty:
-                continue
-            r = _score_salt(sub, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b,
-                            prep=prep, cache=cache, impact_scale=impact_scale)
+            r = _score_salt(seg_pdf, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b,
+                            prep=prep, cache=cache, impact_scale=impact_scale,
+                            term_groups=term_groups)
             if len(r):
                 r.insert(0, "query_id", qid)
                 outs.append(r)
@@ -460,9 +507,10 @@ def wand_topk_batch(
             )
         return pd.concat(outs, ignore_index=True)
 
+    gkey = _group_key(salt_group_factor)
     per_salt = (
-        seg.groupBy("salt")
-        .cogroup(lens.groupBy("salt"))
+        seg.groupBy(gkey)
+        .cogroup(lens.groupBy(gkey))
         .applyInPandas(score_fn, "query_id string, doc_id long, score double")
     )
     from pyspark.sql import Window

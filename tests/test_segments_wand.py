@@ -265,3 +265,35 @@ def test_wand_batch_matches_single(env):
         assert [d for d, _ in got] == [r["doc_id"] for r in single], qid
         for (_, s), r in zip(got, single):
             assert s == pytest.approx(r["score"], abs=1e-9)
+
+
+def test_wand_batch_salt_group_factor_exact(env):
+    """Coarse cogroup keys (salt_group_factor > 1, incl. auto) are a pure
+    scheduling optimization: results identical to G=1."""
+    from pyspark_codesearch.wand import (
+        collect_term_salts,
+        prepare_lens_by_salt,
+        wand_topk_batch,
+    )
+
+    df_lookup = {r["term"]: int(r["df"]) for r in env["term_stats"].collect()}
+    salt_lookup = collect_term_salts(env["segments"])
+    lens_by_salt = prepare_lens_by_salt(env["doc_lens"], SALT_RANGE)
+    qmap = {
+        "a": "parse json string",
+        "b": "uniqterm000042",
+        "c": "return data index query token merge",
+    }
+    kw = dict(salt_range=SALT_RANGE, lens_by_salt=lens_by_salt,
+              df_lookup=df_lookup, salt_lookup=salt_lookup)
+    base = wand_topk_batch(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+        qmap, 5, salt_group_factor=1, **kw,
+    ).collect()
+    for g in (8, 10**6, None):  # coarse, single-task, auto
+        got = wand_topk_batch(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            qmap, 5, salt_group_factor=g, **kw,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, base)), g
+    assert any(r["query_id"] == "b" for r in base)
