@@ -49,10 +49,15 @@ def register(name: str, sql: str | Callable[[], str] | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # executors must be able to import this package (pandas UDF
-            # closures) no matter where the calling driver process lives
+            # closures) no matter where the calling driver process lives;
+            # the analyzer's JVM NFC UDF must resolve on THE CALLING
+            # session (tokens_col falls back to Arrow otherwise, but the
+            # explicit ensure removes any active-session ambiguity)
+            from .analysis import ensure_nfc_udf
             from .pyfiles import ensure_py_files
 
             ensure_py_files(spark)
+            ensure_nfc_udf(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = getattr(fn, "__name__", name)
@@ -675,11 +680,21 @@ def _multimodal_oracle() -> str:
 
 @register("multimodal_features", _multimodal_oracle)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode in the driver row (round 4): feat0/feat_sum come from
+    actually decoding the PNG/PPM/WAV payloads on executors; the VALUES
+    oracle decodes the same seeded payloads pure-python. floor-half-up
+    rounding + sequential float64 fold on both sides."""
     from .operators.multimodal import extract_features, synth_media
 
+    r4 = lambda c: F.floor(c * 10_000 + F.lit(0.5)) / 10_000  # noqa: E731
+    fsum = F.aggregate("feat", F.lit(0.0), lambda a, x: a + x.cast("double"))
     return (
         extract_features(synth_media(spark, 64))
-        .select("media_id", "kind", "n_bytes", "sha16", "decode_status")
+        .select(
+            "media_id", "kind", "n_bytes", "sha16", "decode_status",
+            r4(F.element_at("feat", 1).cast("double")).alias("feat0"),
+            r4(fsum).alias("feat_sum"),
+        )
         .orderBy("media_id")
     )
 

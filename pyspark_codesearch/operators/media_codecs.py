@@ -1,0 +1,287 @@
+"""Pure stdlib/numpy media codecs — REAL decode without PIL/ffmpeg.
+
+The container has no imaging/audio libraries, but three real formats are
+fully decodable (and encodable, for deterministic fixtures) with the
+standard library + numpy:
+
+- WAV  (PCM 16-bit): stdlib ``wave`` + ``np.frombuffer``
+- PPM/PGM (binary P6/P5): 3-token ASCII header + raw bytes
+- PNG  (8-bit gray/RGB/RGBA, non-interlaced): stdlib ``zlib`` inflate +
+  the five scanline unfilters (sub/up/average/paeth) in numpy
+
+These back ``operators/multimodal.extract_features``'s real-decode path
+(reference analogue: the ingest pipeline's image handling around
+data_pipeline/ingest_papers.py figures + the has_images/base64 surface,
+SURVEY §2.8 F10-F13). Feature kernels are deterministic numpy, so the
+driver's DuckDB VALUES oracle can pin them by value: the SAME functions
+run at oracle-registration time (pure python, no Spark) and inside the
+Arrow batches on executors.
+
+Scale note: decode cost is per-row map-side work inside ``mapInPandas``
+— no shuffle, bounded batches; a 100 TB media corpus streams through
+exactly like the fake path did.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+
+class MediaDecodeError(ValueError):
+    pass
+
+
+def _normalize_errors(fn):
+    """Any parse failure (malformed header ints, short buffers, zlib
+    garbage, ...) surfaces as MediaDecodeError — callers get ONE poison
+    signal, never a stray ValueError/struct.error from a corrupt blob."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except MediaDecodeError:
+            raise
+        except (ValueError, struct.error, zlib.error, IndexError, EOFError) as e:
+            raise MediaDecodeError(f"{fn.__name__}: corrupt payload ({e})") from e
+
+    return wrapped
+
+
+# ------------------------------------------------------------------ WAV
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> 16-bit PCM mono WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+@_normalize_errors
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sample_rate, float64 samples in [-1, 1], mono-mixed)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except Exception as e:  # noqa: BLE001 - wave raises bare Exceptions
+        raise MediaDecodeError(f"not a WAV payload: {e}") from e
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise MediaDecodeError(f"unsupported sample width {width}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return sr, x
+
+
+# ------------------------------------------------------------- PPM / PGM
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 array (H, W) or (H, W, 3) -> binary PGM(P5)/PPM(P6) bytes."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise MediaDecodeError(f"unsupported image shape {a.shape}")
+    h, w = a.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+@_normalize_errors
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM(P6)/PGM(P5) -> uint8 array (H, W, C) (C=1 for PGM)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise MediaDecodeError("not a binary PGM/PPM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header = magic, width, height, maxval tokens (comments allowed)
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise MediaDecodeError(f"unsupported maxval {maxval}")
+    need = w * h * channels
+    data = payload[i : i + need]
+    if len(data) < need:
+        raise MediaDecodeError("truncated PPM payload")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, channels)
+
+
+# ------------------------------------------------------------------- PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (H, W), (H, W, 3) or (H, W, 4) -> PNG bytes (filter 0)."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        color, arr = 0, a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        color, arr = (2 if a.shape[2] == 3 else 6), a
+    else:
+        raise MediaDecodeError(f"unsupported image shape {a.shape}")
+    h, w, c = arr.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+@_normalize_errors
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit, non-interlaced, no palette) -> uint8 (H, W, C)."""
+    if payload[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG payload")
+    i, width = 8, None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise MediaDecodeError(
+                    f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
+                )
+            c = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if width is None or not idat:
+        raise MediaDecodeError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * c
+    if len(raw) < height * (stride + 1):
+        raise MediaDecodeError("truncated PNG scanlines")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # sub
+            cur = line
+            for x in range(c, stride):
+                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+        elif ftype == 2:  # up
+            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif ftype == 3:  # average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            cur = line
+            for x in range(stride):
+                a_ = int(cur[x - c]) if x >= c else 0
+                b_ = int(prev[x])
+                c_ = int(prev[x - c]) if x >= c else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise MediaDecodeError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(height, width, c)
+
+
+# ------------------------------------------------------------- dispatch
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff + decode any supported image format -> uint8 (H, W, C)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    raise MediaDecodeError("unrecognized image payload")
+
+
+# ------------------------------------------------------------- features
+GRID = 4  # pooled grayscale grid -> GRID*GRID feature dims
+
+
+def image_features(img: np.ndarray, grid: int = GRID) -> np.ndarray:
+    """Deterministic image features: grayscale -> grid x grid mean-pooled
+    cells, scaled to [0, 1] (float32). Nearest-neighbor cell edges via
+    integer index math — identical on every platform."""
+    a = img.astype(np.float64)
+    gray = a.mean(axis=2) if a.ndim == 3 else a
+    h, w = gray.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    out = np.empty(grid * grid, dtype=np.float64)
+    for gy in range(grid):
+        for gx in range(grid):
+            cell = gray[ys[gy] : max(ys[gy + 1], ys[gy] + 1),
+                        xs[gx] : max(xs[gx + 1], xs[gx] + 1)]
+            out[gy * grid + gx] = cell.mean() / 255.0
+    return out.astype(np.float32)
+
+
+def audio_features(sr: int, x: np.ndarray, dim: int = GRID * GRID) -> np.ndarray:
+    """Deterministic audio features, padded/truncated to ``dim``:
+    [duration_s, rms, zero-crossing rate, spectral centroid (0..1),
+    then mean |amplitude| over dim-4 equal time slices]."""
+    n = x.size
+    dur = n / float(sr) if sr else 0.0
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    centroid = float((spec * np.arange(spec.size)).sum() / spec.sum() / max(spec.size - 1, 1)) if spec.sum() else 0.0
+    head = [dur, rms, zcr, centroid]
+    k = max(dim - len(head), 0)
+    slices = np.array_split(np.abs(x), k) if k else []
+    tail = [float(s.mean()) if s.size else 0.0 for s in slices]
+    return np.asarray((head + tail)[:dim], dtype=np.float32)

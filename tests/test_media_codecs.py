@@ -1,0 +1,135 @@
+"""Pure stdlib/numpy media codecs: roundtrips, PNG filter coverage,
+deterministic feature kernels. No Spark session needed."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pyspark_codesearch.operators.media_codecs import (
+    MediaDecodeError,
+    audio_features,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+    image_features,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def test_wav_roundtrip(rng):
+    x = 0.6 * np.sin(np.linspace(0, 30 * np.pi, 3000)) + rng.normal(0, 0.01, 3000)
+    sr, y = decode_wav(encode_wav(x, 16000))
+    assert sr == 16000 and y.shape == (3000,)
+    assert float(np.abs(y - np.clip(x, -1, 1)).max()) < 1e-3
+
+
+def test_ppm_pgm_roundtrip(rng):
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    g = rng.integers(0, 256, (20, 21), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(g))[:, :, 0], g)
+
+
+def test_ppm_header_comments():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    raw = b"P6\n# a comment\n2 2\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(raw), img)
+
+
+@pytest.mark.parametrize("shape", [(25, 31), (25, 31, 3), (25, 31, 4)])
+def test_png_roundtrip(rng, shape):
+    im = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_png(encode_png(im))
+    ref = im[:, :, None] if im.ndim == 2 else im
+    assert np.array_equal(dec, ref)
+
+
+def _png_with_filters(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Hand-build a PNG whose scanlines use the given filter types —
+    exercises the decoder's sub/up/average/paeth inverses (our encoder
+    only emits filter 0)."""
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = ftypes[y % len(ftypes)]
+        filt = np.empty_like(line)
+        for x in range(line.size):
+            a = int(line[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_filter_types_decode(rng, ftypes):
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(_png_with_filters(img, ftypes)), img)
+
+
+def test_dispatch_and_errors(rng):
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert decode_image(encode_png(img)).shape == (8, 8, 3)
+    assert decode_image(encode_ppm(img)).shape == (8, 8, 3)
+    with pytest.raises(MediaDecodeError):
+        decode_image(b"\x00\x01\x02 not media")
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"RIFFgarbage")
+    with pytest.raises(MediaDecodeError):
+        decode_ppm(b"P6\n4 4\n255\nshort")
+
+
+def test_feature_kernels_deterministic(rng):
+    img = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    f1, f2 = image_features(img), image_features(img)
+    assert f1.shape == (16,) and np.array_equal(f1, f2)
+    assert float(f1.min()) >= 0.0 and float(f1.max()) <= 1.0
+    # uniform image -> all cells equal its gray level
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    assert np.allclose(image_features(flat), 128 / 255.0, atol=1e-7)
+    sr, x = decode_wav(encode_wav(np.sin(np.linspace(0, 20 * np.pi, 2000)), 8000))
+    a1, a2 = audio_features(sr, x), audio_features(sr, x)
+    assert a1.shape == (16,) and np.array_equal(a1, a2)
+    assert a1[0] == pytest.approx(2000 / 8000)  # duration
+    assert 0.6 < a1[1] < 0.75                   # sine RMS ~ 1/sqrt(2)
+    assert audio_features(8000, np.array([])).tolist() == [0.0] * 16

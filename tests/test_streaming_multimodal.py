@@ -81,24 +81,56 @@ def test_windowed_event_counts_stream(spark, sf_dir, tmp_path):
 
 def test_media_features_deterministic(spark):
     media = synth_media(spark, 32)
-    feats = extract_features(media).collect()
+    feats = extract_features(media, fake_decode=True).collect()
     assert len(feats) == 32
     by_id = {r["media_id"]: r for r in feats}
     assert all(r["decode_status"] == "fake" for r in feats)
-    assert all(len(r["feat"]) == 8 for r in feats)
+    assert all(len(r["feat"]) == 16 for r in feats)
     # sha16 matches payload hash
     payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     for mid, r in by_id.items():
         assert r["sha16"] == hashlib.sha256(payloads[mid]).hexdigest()[:16]
     # deterministic across runs
-    feats2 = {r["media_id"]: r["feat"] for r in extract_features(media).collect()}
+    feats2 = {r["media_id"]: r["feat"] for r in extract_features(media, fake_decode=True).collect()}
     assert all(feats2[m] == by_id[m]["feat"] for m in feats2)
 
 
-def test_media_real_decoder_is_gated(spark):
-    media = synth_media(spark, 6)
-    rows = extract_features(media, fake_decode=False).collect()
-    assert all(r["decode_status"] == "decoder_unavailable" for r in rows)
+def test_media_real_decode(spark):
+    """Round 4: PNG/PPM images and WAV audio REALLY decode on executors
+    (pure stdlib/numpy codecs); video has no in-container demuxer and
+    surfaces decoder_unavailable; features match a driver-side decode of
+    the same payloads bit-for-bit."""
+    import numpy as np
+
+    from pyspark_codesearch.operators.multimodal import _real_feature
+
+    media = synth_media(spark, 12)
+    rows = extract_features(media).collect()
+    status = {r["media_id"]: r["decode_status"] for r in rows}
+    kinds = {r["media_id"]: r["kind"] for r in rows}
+    for mid, k in kinds.items():
+        assert status[mid] == ("decoder_unavailable" if k == "video" else "ok"), (mid, k)
+    payloads = {r["media_id"]: (r["kind"], bytes(r["payload"])) for r in media.collect()}
+    for r in rows:
+        if r["decode_status"] != "ok":
+            continue
+        kind, payload = payloads[r["media_id"]]
+        want = [float(x) for x in _real_feature(kind, payload)]
+        assert r["feat"] == pytest.approx(want, abs=0), r["media_id"]
+
+
+def test_media_corrupt_payload_is_poison_tolerant(spark):
+    """A corrupt payload yields decode_error + zero features instead of
+    failing the Arrow batch (S8 at the media layer)."""
+    rows = [(0, "image", bytearray(b"P6 not really an image"), "image/x-portable-pixmap", 4, 4, 22),
+            (1, "audio", bytearray(b"RIFFgarbage"), "audio/wav", 0, 0, 11)]
+    from pyspark_codesearch.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert got[0]["decode_status"] == "decode_error"
+    assert got[1]["decode_status"] == "decode_error"
+    assert all(v == 0.0 for v in got[0]["feat"] + got[1]["feat"])
 
 
 def test_frame_sample_plan(spark):
