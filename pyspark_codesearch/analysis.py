@@ -47,7 +47,7 @@ from __future__ import annotations
 import os
 import re
 import unicodedata
-from weakref import WeakSet
+from weakref import WeakKeyDictionary, WeakSet
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -106,7 +106,11 @@ _NFC_JAR = os.path.join(
 )
 _NFC_UDF = "spark_graft_nfc"
 _nfc_ready: WeakSet = WeakSet()
-_nfc_failed: WeakSet = WeakSet()
+# failed registrations retry up to _NFC_MAX_ATTEMPTS times per session
+# (a transient ADD JAR hiccup must not pin the session to the Arrow
+# fallback forever), then stick with a warning
+_NFC_MAX_ATTEMPTS = 3
+_nfc_attempts: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _nfc_pandas_col(c: Column) -> Column:
@@ -123,10 +127,14 @@ def _nfc_pandas_col(c: Column) -> Column:
 
 def ensure_nfc_udf(spark) -> bool:
     """Register the JVM NFC UDF on this session (idempotent). Returns
-    True when call_udf('spark_graft_nfc', ...) is usable."""
+    True when call_udf('spark_graft_nfc', ...) is usable. Failures are
+    retried up to _NFC_MAX_ATTEMPTS times (transient ADD JAR hiccups
+    must not silently pin the session to the Arrow fallback), then the
+    session sticks with the fallback and a one-time warning."""
     if spark in _nfc_ready:
         return True
-    if spark in _nfc_failed:
+    attempts = _nfc_attempts.get(spark, 0)
+    if attempts >= _NFC_MAX_ATTEMPTS:
         return False
     try:
         from pyspark.sql.types import StringType
@@ -135,8 +143,16 @@ def ensure_nfc_udf(spark) -> bool:
         spark.udf.registerJavaFunction(_NFC_UDF, "SparkGraftNfc", StringType())
         _nfc_ready.add(spark)
         return True
-    except Exception:
-        _nfc_failed.add(spark)
+    except Exception as e:
+        _nfc_attempts[spark] = attempts + 1
+        if attempts + 1 >= _NFC_MAX_ATTEMPTS:
+            import warnings
+
+            warnings.warn(
+                f"JVM NFC UDF registration failed {attempts + 1}x ({e!r}); "
+                "this session uses the Arrow pandas NFC fallback",
+                stacklevel=2,
+            )
         return False
 
 

@@ -686,7 +686,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding + sequential float64 fold on both sides."""
     from .operators.multimodal import extract_features, synth_media
 
-    r4 = lambda c: F.floor(c * 10_000 + F.lit(0.5)) / 10_000  # noqa: E731
+    from .rounding import round_half_up as r4
+
     fsum = F.aggregate("feat", F.lit(0.0), lambda a, x: a + x.cast("double"))
     return (
         extract_features(synth_media(spark, 64))

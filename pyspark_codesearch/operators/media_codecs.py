@@ -211,7 +211,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ftype == 1:  # sub
             cur = line
             for x in range(c, stride):
-                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+                # int() like the average/paeth branches: uint8 scalar
+                # addition overflows (numpy RuntimeWarning per pixel)
+                cur[x] = (int(cur[x]) + int(cur[x - c])) & 0xFF
         elif ftype == 2:  # up
             cur = (line.astype(np.uint16) + prev).astype(np.uint8)
         elif ftype == 3:  # average

@@ -132,12 +132,7 @@ def features_oracle_sql(n: int = 64, seed: int = 123) -> str:
     come from actually decoding the PNG/PPM/WAV payloads with the same
     pure-python codecs the executors run, so a green driver row proves
     the decode itself, not just the plumbing."""
-    import math
-
-    def r4(v: float) -> float:
-        # floor-half-up on both engines (python round is banker's,
-        # Spark round is HALF_UP — see CLAUDE.md rounding convention)
-        return math.floor(v * 10_000 + 0.5) / 10_000
+    from ..rounding import round_half_up_py as r4
 
     vals = []
     for i, kind, payload, _mime, _w, _h, n_bytes in synth_media_rows(n, seed):
@@ -145,9 +140,14 @@ def features_oracle_sql(n: int = 64, seed: int = 123) -> str:
         try:
             feat = _real_feature(kind, b)
             status = "ok"
-        except (MediaDecodeError, DecoderUnavailable):
+        except DecoderUnavailable:
             feat = np.zeros(FEAT_DIM, dtype=np.float32)
             status = "decoder_unavailable"
+        except MediaDecodeError:
+            # same status string the Spark path emits for a corrupt
+            # payload — the two sides must agree on the poison label
+            feat = np.zeros(FEAT_DIM, dtype=np.float32)
+            status = "decode_error"
         # sequential float64 sum — matches Spark's F.aggregate fold
         fsum = 0.0
         for v in feat:

@@ -69,7 +69,9 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
     # floor-based half-up rounding: engine-independent on identical doubles
     # (Spark round() and DuckDB round() disagree on exact decimal halves)
-    q4 = F.floor(q * 10000.0 + 0.5) / 10000.0
+    from ..rounding import round_half_up
+
+    q4 = round_half_up(q, 4)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col("n_chars"),

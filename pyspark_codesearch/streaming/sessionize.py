@@ -105,6 +105,9 @@ def sessionize_stream(
     )
 
 
+SESSION_STATE_ET = SESSION_STATE + ", pend_ts array<long>, pend_cents array<long>"
+
+
 def sessionize_stream_event_time(
     events: DataFrame,
     gap_minutes: int = 30,
@@ -112,70 +115,78 @@ def sessionize_stream_event_time(
 ) -> DataFrame:
     """Event-time sessionization: sessions close deterministically on
     STREAM time, matching the batch gap rule (operators/relational.
-    sessionize_df) on the same non-late events.
+    sessionize_df) on the same non-late events — INCLUDING events that
+    arrive out of order across micro-batches.
 
-    Two close paths, both driven by event time:
-    - a later event from the same user more than ``gap_minutes`` after
-      the previous one (same as :func:`sessionize_stream`);
-    - the event-time WATERMARK passing last_event + gap
-      (GroupStateTimeout.EventTimeTimeout) — an idle user's open session
-      closes once the stream's time, not the wall clock, moves past the
-      gap. Replayed/backfilled history closes sessions identically.
+    Correctness model: an event with ``ts >= watermark`` may still be
+    PRECEDED by a future arrival (anything with ts' in [watermark, ts)),
+    so committing it to a session immediately would lock in a wrong
+    order. Events therefore buffer in per-user state as *pending* until
+    the watermark passes them; only then are they FINALIZED — fed
+    through the gap rule in global event-time order, exactly like the
+    batch sort. An open session closes when the watermark passes
+    last_finalized + gap (no finalized, pending, or future event can
+    extend it: future arrivals all have ts >= watermark > last + gap).
 
-    Late data: rows older than the current watermark are dropped (the
-    engine filters them before the stateful operator; the scorer also
-    drops them defensively), so a straggler cannot reopen or corrupt an
-    already-closed session. The batch rule applied to the surviving
-    events yields the same sessions — pinned by the parity test.
+    Rows older than the watermark at arrival are dropped (engine filter
+    + a defensive in-scorer filter): a straggler cannot reopen a closed
+    session. Timers re-register on EVERY invocation (Spark clears a
+    group's timeout each time the function runs) at
+    min(open_close_time, first_pending + gap), clamped above the current
+    watermark; early fires are harmless (the state re-registers).
 
-    Scale notes: identical state shape to :func:`sessionize_stream` (one
-    fixed-size row per user); timers are per-key timestamps managed by
-    the state store, so a watermark advance touches only keys whose
-    timeout passed.
+    Scale notes: per-user state = one fixed-size row + the pending
+    buffer, which holds ONLY events inside the watermark horizon
+    (bounded by delay x per-user event rate); timers are per-key
+    timestamps in the state store, so a watermark advance touches only
+    keys whose timeout passed.
     """
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            sid, start, last, n, cents = state.get
-            # keep the session COUNTER (see sessionize_stream): the
-            # sentinel registers no new timer, so it costs one tiny row
-            # per idle user and never re-emits a (user, session_id) key
-            state.update((sid + 1, None, None, 0, 0))
-            if n > 0:
-                yield pd.DataFrame([_close(user_id, sid, start, last, n, cents)])
-            return
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        # defensive late-drop (the engine already filters rows older than
-        # the watermark ahead of stateful operators; keeping the filter
-        # here makes the semantics independent of that implementation
-        # detail)
-        batch = batch[batch["ts_us"].astype("int64") >= wm_us]
-        if batch.empty:
-            return
-        sort_cols = ["ts_us"] + (["event_id"] if "event_id" in batch.columns else [])
-        batch = batch.sort_values(sort_cols)
+        wm_ms = max(state.getCurrentWatermarkMs(), 0)
+        wm_us = wm_ms * 1000
         if state.exists:
-            sid, start, last, n, cents = state.get
+            sid, start, last, n, cents, pend_ts, pend_cents = state.get
+            pend = list(zip(pend_ts or [], pend_cents or []))
         else:
-            sid, start, last, n, cents = 0, None, None, 0, 0
+            sid, start, last, n, cents, pend = 0, None, None, 0, 0, []
+        if not state.hasTimedOut:
+            for batch in pdfs:
+                if batch.empty:
+                    continue
+                ts_arr = batch["ts_us"].astype("int64")
+                c_arr = batch["cents"].astype("int64")
+                for ts_us, c in zip(ts_arr, c_arr):
+                    if int(ts_us) >= wm_us:  # defensive late-drop
+                        pend.append((int(ts_us), int(c)))
+        pend.sort()
+        finalized = [(t, c) for t, c in pend if t < wm_us]
+        pend = [(t, c) for t, c in pend if t >= wm_us]
         out: list[dict] = []
-        for ts_us, c in zip(batch["ts_us"].astype("int64"), batch["cents"].astype("int64")):
-            ts_us, c = int(ts_us), int(c)
+        for ts_us, c in finalized:
             if last is not None and ts_us - last > gap_us:
                 out.append(_close(user_id, sid, start, last, n, cents))
                 sid, start, n, cents = sid + 1, ts_us, 0, 0
             if start is None:
                 start = ts_us
             last, n, cents = ts_us, n + 1, cents + c
-        state.update((sid, start, last, n, cents))
-        # the session closes when the watermark passes last + gap; a
-        # timer must be strictly ahead of the current watermark (replayed
-        # events near the watermark would otherwise register in the past)
-        state.setTimeoutTimestamp(max(last // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if n > 0 and wm_us > last + gap_us:
+            out.append(_close(user_id, sid, start, last, n, cents))
+            sid, start, last, n, cents = sid + 1, None, None, 0, 0
+        state.update(
+            (sid, start, last, n, cents,
+             [t for t, _ in pend], [c for _, c in pend])
+        )
+        cands = []
+        if n > 0:
+            cands.append(last // 1000 + gap_ms)
+        if pend:
+            cands.append(pend[0][0] // 1000 + gap_ms)
+        if cands:
+            state.setTimeoutTimestamp(max(min(cands), wm_ms + 1))
         if out:
             yield pd.DataFrame(out)
 
@@ -191,5 +202,5 @@ def sessionize_stream_event_time(
         )
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
-        fn, SESSION_OUTPUT, SESSION_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        fn, SESSION_OUTPUT, SESSION_STATE_ET, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -243,15 +243,30 @@ class TermDictionary:
 
     Staleness: the dictionary snapshots (df, salts) at lookup time. After
     ANY index mutation (lineage.upsert_index / delete_from_index /
-    compact_delta_into_index) call :meth:`invalidate` — or rebuild the
-    dictionary from fresh reads — before the next query, or lookups
-    return pre-mutation df (wrong idf) and pre-mutation salt sets
-    (new salts silently skipped). For file-backed indexes the safest
-    move is a fresh TermDictionary over fresh ``spark.read`` frames:
-    a DataFrame object pins the file listing it was planned with.
+    compact_delta_into_index) call :meth:`invalidate` before the next
+    query, or lookups return pre-mutation df (wrong idf) and
+    pre-mutation salt sets (new salts silently skipped). For FILE-BACKED
+    indexes, construct via :meth:`for_index` (or pass
+    ``frames_factory``): a DataFrame object pins the file listing it was
+    planned with, so invalidate() must re-plan from fresh reads — merely
+    re-caching the old plan would read renamed/deleted files.
     """
 
-    def __init__(self, term_stats: DataFrame, segments: DataFrame):
+    def __init__(
+        self,
+        term_stats: DataFrame,
+        segments: DataFrame,
+        *,
+        frames_factory=None,
+    ):
+        self._frames_factory = frames_factory
+        self._build(term_stats, segments)
+        self._df: dict[str, int] = {}
+        self._salts: dict[str, tuple[int, ...]] = {}
+        self._miss: set[str] = set()
+        self.fetched_terms: set[str] = set()
+
+    def _build(self, term_stats: DataFrame, segments: DataFrame) -> None:
         self._side = (
             segments.select("term", "salt")
             .distinct()
@@ -260,17 +275,34 @@ class TermDictionary:
             .join(term_stats, "term")
             .cache()
         )
-        self._df: dict[str, int] = {}
-        self._salts: dict[str, tuple[int, ...]] = {}
-        self._miss: set[str] = set()
-        self.fetched_terms: set[str] = set()
+
+    @classmethod
+    def for_index(cls, spark, out_dir: str) -> "TermDictionary":
+        """Dictionary over a lineage-built index directory whose
+        invalidate() re-reads the (possibly swapped) parquet dirs."""
+        from .lineage import load_segments
+
+        def factory():
+            return (
+                spark.read.parquet(f"{out_dir}/term_stats"),
+                load_segments(spark, out_dir),
+            )
+
+        ts, segs = factory()
+        return cls(ts, segs, frames_factory=factory)
 
     def invalidate(self) -> None:
         """Drop every cached lookup (positive AND negative) and the cached
-        distributed side table, forcing recomputation from the underlying
-        frames on the next lookup. Call after any index mutation."""
+        distributed side table. With a ``frames_factory`` (for_index),
+        the side table re-plans from FRESH reads — required after an
+        upsert swaps the underlying parquet directories; without one it
+        recomputes from the originally supplied frames (correct for
+        in-memory frames, stale for file-backed ones)."""
         self._side.unpersist()
-        self._side = self._side.cache()
+        if self._frames_factory is not None:
+            self._build(*self._frames_factory())
+        else:
+            self._side = self._side.cache()
         self._df.clear()
         self._salts.clear()
         self._miss.clear()

@@ -37,7 +37,6 @@ def main() -> int:
     import duckdb
 
     sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
-    # force the fallback implementation regardless of tiktoken presence
     import importlib
 
     import pyspark_codesearch.chunker as ch
@@ -45,26 +44,31 @@ def main() -> int:
     enc = tiktoken.get_encoding("cl100k_base")
     real = lambda t: len(enc.encode(t))  # noqa: E731
 
-    # reload chunker with tiktoken masked so count_tokens is the fallback
-    masked = dict(sys.modules)
-    sys.modules["tiktoken"] = None  # type: ignore[assignment]
-    try:
-        importlib.reload(ch)
-        fallback = ch.count_tokens
-        chunk_fallback = ch.chunk_text_py
-    finally:
-        sys.modules.update(masked)
-
     path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01/documents.parquet"
     rows = duckdb.connect().execute(f"SELECT doc_id, text FROM '{path}'").fetchall()
 
-    rel_errs, chunk_deltas = [], []
-    for _doc_id, text in rows:
-        r, f = real(text), fallback(text)
-        rel_errs.append(abs(f - r) / max(r, 1))
-        chunk_deltas.append(
-            abs(len(chunk_fallback(text)) - len(ch.chunk_text_py(text)))
-        )
+    # PASS 1 — real-tiktoken state: ch.count_tokens is the exact encoder
+    # (the tiktoken import branch), so these chunk counts are ground truth.
+    # importlib.reload mutates the module IN PLACE, so both passes must
+    # fully complete before/after the reload, never mixing the two.
+    assert ch.count_tokens("hello") == real("hello"), (
+        "chunker did not pick up the tiktoken branch — stale module?"
+    )
+    real_chunks = {doc_id: len(ch.chunk_text_py(text)) for doc_id, text in rows}
+
+    # PASS 2 — reload with tiktoken masked: ch.count_tokens is the fallback
+    masked_out = sys.modules.pop("tiktoken")
+    sys.modules["tiktoken"] = None  # type: ignore[assignment]
+    try:
+        importlib.reload(ch)
+        rel_errs, chunk_deltas = [], []
+        for doc_id, text in rows:
+            r, f = real(text), ch.count_tokens(text)
+            rel_errs.append(abs(f - r) / max(r, 1))
+            chunk_deltas.append(abs(len(ch.chunk_text_py(text)) - real_chunks[doc_id]))
+    finally:
+        sys.modules["tiktoken"] = masked_out
+        importlib.reload(ch)  # restore the tiktoken-backed module for callers
 
     rel_errs.sort()
     print(f"docs: {len(rows)}")

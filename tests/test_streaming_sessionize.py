@@ -215,3 +215,64 @@ def test_event_time_stream_matches_batch_rule(spark, tmp_path):
         # the stream emits the CLOSED prefix of the batch's session list
         assert ordered == per_user_batch[u][: len(ordered)], u
         assert len(ordered) >= len(per_user_batch[u]) - 1  # at most the open tail
+
+
+def test_event_time_out_of_order_across_batches(spark, tmp_path):
+    """An event that arrives in a LATER micro-batch with an EARLIER
+    (non-late) timestamp slots into the correct position: pending events
+    buffer in state until the watermark passes them, so the gap rule
+    runs in global event-time order exactly like the batch sort."""
+    from pyspark_codesearch.operators.relational import sessionize_df
+    from pyspark_codesearch.streaming.sessionize import sessionize_stream_event_time
+
+    src = tmp_path / "ooo_in"
+    ckpt = str(tmp_path / "ooo_ck")
+    sink = str(tmp_path / "ooo_out")
+    src.mkdir()
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    # u1: 100' arrives first; 95' arrives one batch LATER (watermark is
+    # only 90' then — not late). In arrival order the naive gap rule
+    # would move `last` backward; in event-time order 95' and 100' are
+    # one session, later split from 200'.
+    batches = [
+        [_ev(1, 100, 1.0, 0)],
+        [_ev(1, 95, 2.0, 1)],
+        [_ev(1, 200, 4.0, 2)],           # wm -> 190: finalizes 95+100
+        [_ev(9, 1000, 0.5, 3)],          # wm -> 990: closes everything of u1
+        [_ev(9, 2000, 0.5, 4)],          # closes u9's first session
+    ]
+    for chunk in batches:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        q = (
+            sessionize_stream_event_time(
+                spark.readStream.schema(schema).parquet(str(src)),
+                gap_minutes=30, watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows = [tuple(r) for r in spark.read.parquet(sink).collect()]
+    got = {(u, s): (nn, v, st, en) for (u, s, nn, v, st, en) in rows}
+    base = int(pd.Timestamp("2024-01-01").value // 1000)  # _ev's epoch base, us
+    m = lambda mins: base + mins * MIN_US  # noqa: E731
+    assert got[(1, 0)] == (2, 3.0, m(95), m(100)), got  # 95'+100' ONE session
+    assert got[(1, 1)] == (1, 4.0, m(200), m(200))
+    assert got[(9, 0)] == (1, 0.5, m(1000), m(1000))
+    # and the batch rule over the same events agrees per user
+    batch = sessionize_df(
+        spark.createDataFrame([e for c in batches for e in c], schema), gap_minutes=30
+    ).collect()
+    per_user = {}
+    for r in batch:
+        per_user.setdefault(r["user_id"], []).append((r["n_events"], r["session_value"]))
+    stream_u1 = [got[(1, s)][:2] for s in sorted(s for (u, s) in got if u == 1)]
+    assert stream_u1 == per_user[1][: len(stream_u1)]

@@ -359,3 +359,31 @@ def test_large_vocab_delta_no_driver_lists(spark, tmp_path):
     assert "affected_terms" not in plan
     # spot-check: an inserted doc's unique token is retrievable
     assert _wand(spark, out, "bigv 4017", k=3, salt_range=64) != []
+
+
+def test_term_dictionary_for_index_refreshes_after_upsert(spark, tmp_path):
+    """invalidate() on a for_index dictionary re-reads the SWAPPED
+    parquet dirs: post-upsert lookups see new df and new salts (a plain
+    re-cache of the pinned file listing would throw or serve stale)."""
+    from pyspark_codesearch.wand import TermDictionary
+
+    out = str(tmp_path / "tdix")
+    docs = ingest(corpus_df(spark, 40, seed=15)).cache()
+    build_index_resumable(docs, out, n_buckets=2, salt_range=32)
+    td = TermDictionary.for_index(spark, out)
+    dfs0, _ = td.lookup(["merge", "upserterm"])
+    assert "merge" in dfs0 and "upserterm" not in dfs0
+
+    upsert_index(spark, out, _delta(spark), salt_range=32)
+    td.invalidate()
+    dfs1, salts1 = td.lookup(["merge", "upserterm"])
+    # the delta's brand-new term is now visible with its true df (3 mods
+    # + 2 inserts carry 'upserterm'/'insertterm' markers -> df >= 3)
+    assert dfs1.get("upserterm", 0) >= 3
+    assert salts1["upserterm"], "new term's salts must be visible"
+    # and a mutated common term's df reflects the post-upsert postings
+    true_df = (
+        spark.read.parquet(f"{out}/postings")
+        .filter(F.col("term") == "merge").count()
+    )
+    assert dfs1["merge"] == true_df
