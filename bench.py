@@ -148,10 +148,12 @@ def main():
 
     # the exact scorer's per-query agg is tiny — 8 shuffle partitions
     # beats 32 (fewer sub-ms tasks to launch per stage); the wand cogroup
-    # sections below want the full 32
+    # sections below want whatever get_spark sized (max(cpus, 8)), so
+    # save/restore rather than hardcode
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     timed("bm25_batch", lambda: [one_bm25(q) for q in BENCH_QUERIES])
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     def one_wand(q):
         dfs, salts = td.lookup(tokenize_py(q))

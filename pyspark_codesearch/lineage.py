@@ -414,11 +414,15 @@ def upsert_index(
     # of per-row hashes) so no id or sha list ever materializes on the
     # driver — ANSI-safe: xxhash64 sums are cast to decimal(38,0) first.
     def _fp_agg(df: DataFrame, *hash_cols: str) -> list:
-        aggs = [F.count(F.lit(1)).alias("n")] + [
-            F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias(f"h_{c}")
-            for c in hash_cols
-        ]
-        r = df.agg(*aggs).collect()[0]
+        # ONE xxhash64 over all the columns together per row, then summed:
+        # the fingerprint commits to the (doc_id, sha256) PAIRING —
+        # independent per-column sums would collide for two deltas with
+        # equal column multisets but swapped content, and a crash-resume
+        # would then skip committed units for the wrong delta
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*hash_cols).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
         return [str(x) for x in r]
 
     import hashlib as _hl

@@ -220,7 +220,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
             for x in range(stride):
                 left = int(cur[x - c]) if x >= c else 0
-                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                # int() first: np.uint8 + int overflow is value-correct
+                # under & 0xFF but emits a per-pixel RuntimeWarning
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # paeth
             cur = line
             for x in range(stride):
@@ -230,7 +232,7 @@ def decode_png(payload: bytes) -> np.ndarray:
                 p = a_ + b_ - c_
                 pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
                 pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
-                cur[x] = (cur[x] + pred) & 0xFF
+                cur[x] = (int(cur[x]) + pred) & 0xFF
         else:
             raise MediaDecodeError(f"unknown PNG filter {ftype}")
         out[y] = cur

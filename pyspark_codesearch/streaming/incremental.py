@@ -46,14 +46,11 @@ def incremental_index(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands a DataFrame bound to the streaming run's
         # CLONED session; the thread's active session can be the original
-        # one, so the analyzer NFC UDF must be registered on the clone
-        # explicitly or call_udf fails to resolve there
-        from ..analysis import ensure_nfc_udf
-
-        ensure_nfc_udf(batch_df.sparkSession)
+        # one, so the analyzer NFC UDF must target the clone explicitly
+        # (spark=) or call_udf fails to resolve there
         ingested = (
             batch_df.withColumn("sha256", F.sha2("text", 256))
-            .withColumn("tokens", tokens_col("text"))
+            .withColumn("tokens", tokens_col("text", spark=batch_df.sparkSession))
             .withColumn("doc_len", F.size("tokens"))
             .withColumn("batch_id", F.lit(batch_id))
         )
