@@ -14,6 +14,74 @@ from .corpus import ingest_documents_table
 from .indexing import B, K1, CorpusStats, build_term_stats, corpus_stats
 from .scoring import bm25_topk
 
+# -------------------------------------------------- single-query cost dispatch
+# Matched posting volume (sum of df over the query's terms, from the
+# resident TermDictionary — zero extra jobs) below which the literal-CASE
+# exact scorer is the faster single-query plan. The exact path is ONE
+# JVM-only job (IN-filtered postings scan + codegen CASE + top-k heap);
+# the WAND cogroup pays a fixed python-scorer dispatch + Arrow round trip
+# per query (~0.3-0.5 s on this box) that only block-max pruning over a
+# LARGE matched volume can buy back. Measured at sf0.1 (80k docs, warm
+# caches, local[32]): exact 0.34-0.43 s/q at sum(df) up to ~2e5 vs WAND
+# 0.48-0.86 s/q — the crossover is far above any volume reachable at
+# local scale, so the default routes on an absolute posting budget sized
+# where decode+score work (~1e6 postings, ~10 ms/1e5 in the JVM) starts
+# to rival the dispatch cost WAND would amortize. Both paths are
+# rank-identical (tests/test_bm25_rank_identity.py), so routing is purely
+# a latency decision.
+SEARCH_EXACT_MAX_POSTINGS = 1_000_000
+
+
+def search_topk_auto(
+    postings: DataFrame,
+    segments: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    k: int = 10,
+    *,
+    salt_range: int,
+    lens_by_salt: DataFrame | None = None,
+    df_lookup: dict[str, int] | None = None,
+    salt_lookup: dict[str, tuple[int, ...]] | None = None,
+    max_exact_postings: int = SEARCH_EXACT_MAX_POSTINGS,
+    wand_salt_group_factor: int = 16,
+    impact_scale: float = 1.0,
+    route_out: dict | None = None,
+) -> DataFrame:
+    """Single-query top-k with df-based cost dispatch: the literal exact
+    plan when the matched posting volume is small, block-max WAND when a
+    heavy term makes pruning worthwhile. ``route_out['route']`` (if a
+    dict is passed) records which path planned the query."""
+    if df_lookup is None:
+        from collections import Counter
+
+        terms = list(Counter(tokenize_py(query)))
+        df_lookup = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+    matched_volume = sum(df_lookup.values())
+    if matched_volume <= max_exact_postings:
+        if route_out is not None:
+            route_out["route"] = "exact"
+            route_out["matched_postings"] = matched_volume
+        return bm25_topk(
+            postings, doc_lens, term_stats, stats, query, k, df_lookup=df_lookup
+        )
+    from .wand import wand_topk
+
+    if route_out is not None:
+        route_out["route"] = "wand"
+        route_out["matched_postings"] = matched_volume
+    return wand_topk(
+        segments, doc_lens, term_stats, stats, query, k,
+        salt_range=salt_range, lens_by_salt=lens_by_salt,
+        df_lookup=df_lookup, salt_lookup=salt_lookup,
+        impact_scale=impact_scale, salt_group_factor=wand_salt_group_factor,
+    )
+
 
 class DocumentsEngine:
     """BM25 engine over documents.parquet (doc_id, text, lang, source, n_chars)."""
@@ -96,6 +164,30 @@ class DocumentsEngine:
             self.segments, self.doc_lens, self.term_stats, self.stats, query, k,
             salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,
             df_lookup=df_lookup, salt_lookup=salt_lookup,
+        )
+        if round_to is not None:
+            out = out.select("doc_id", F.round("score", round_to).alias("score"))
+        return out
+
+    def search_best(
+        self, query: str, k: int = 10, round_to: int | None = None,
+        *, max_exact_postings: int | None = None, route_out: dict | None = None,
+    ) -> DataFrame:
+        """Cost-dispatched single-query search: min-latency of the two
+        rank-identical paths (literal exact vs block-max WAND), routed on
+        the matched posting volume from the resident TermDictionary."""
+        lens_by_salt, df_lookup, salt_lookup = self._query_lookups(query)
+        out = search_topk_auto(
+            self.postings, self.segments, self.doc_lens, self.term_stats,
+            self.stats, query, k,
+            salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,
+            df_lookup=df_lookup, salt_lookup=salt_lookup,
+            max_exact_postings=(
+                SEARCH_EXACT_MAX_POSTINGS
+                if max_exact_postings is None
+                else max_exact_postings
+            ),
+            route_out=route_out,
         )
         if round_to is not None:
             out = out.select("doc_id", F.round("score", round_to).alias("score"))

@@ -297,3 +297,53 @@ def test_wand_batch_salt_group_factor_exact(env):
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, base)), g
     assert any(r["query_id"] == "b" for r in base)
+
+
+def test_search_topk_auto_dispatch(env):
+    """Cost dispatch routes on matched posting volume and both routes
+    return the same ranking (the two paths are rank-identical; dispatch
+    is purely a latency decision)."""
+    from pyspark_codesearch.engine import search_topk_auto
+
+    q = "parse json string"
+    base = [(r["doc_id"], r["score"]) for r in bm25_topk(
+        env["postings_dl"], env["doc_lens"], env["term_stats"], env["stats"], q, 10,
+    ).collect()]
+
+    def run(budget):
+        route: dict = {}
+        out = search_topk_auto(
+            env["postings_dl"], env["segments"], env["doc_lens"],
+            env["term_stats"], env["stats"], q, 10,
+            salt_range=SALT_RANGE, max_exact_postings=budget, route_out=route,
+        )
+        return out, route
+
+    # small volume (300-doc corpus) -> exact path: one JVM plan, no
+    # python scorer cogroup anywhere in it
+    out, route = run(10**9)
+    assert route["route"] == "exact" and route["matched_postings"] > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    assert [d for d, _ in got] == [d for d, _ in base]
+
+    # budget 0 forces the WAND route; rank-identical, scores to 1e-9
+    out, route = run(0)
+    assert route["route"] == "wand"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    assert [d for d, _ in got] == [d for d, _ in base]
+    for (_, s), (_, e) in zip(got, base):
+        assert s == pytest.approx(e, abs=1e-9)
+
+    # no df_lookup provided -> the dispatcher seeks term_stats itself
+    route = {}
+    out = search_topk_auto(
+        env["postings_dl"], env["segments"], env["doc_lens"],
+        env["term_stats"], env["stats"], "uniqterm000042", 5,
+        salt_range=SALT_RANGE, route_out=route,
+    )
+    assert route["route"] == "exact"
+    assert out.count() >= 1
