@@ -4,12 +4,12 @@ Image/audio/video travel as ``binary`` columns with a metadata struct;
 transforms run as Arrow-batched ``mapInPandas`` so each worker touches a
 bounded iterator of record batches (never materializing a partition).
 
-Decode (round 4 — previously stubbed): PNG / PPM / PGM images and
-16-bit-PCM WAV audio decode for real via the pure stdlib/numpy codecs
-in :mod:`.media_codecs` — no PIL/ffmpeg needed — and feed deterministic
-feature kernels (pooled grayscale grid; duration/RMS/ZCR/centroid).
-Video stays an honest stub (MP4 needs a real demuxer; ``frame_sample_
-plan`` models the explode shape) — such rows surface
+Decode: PNG / PPM / PGM images, 16-bit-PCM WAV audio AND animated-GIF
+video decode for real via the pure stdlib/numpy codecs in
+:mod:`.media_codecs` — no PIL/ffmpeg needed — and feed deterministic
+feature kernels (pooled grayscale grid; duration/RMS/ZCR/centroid;
+frame-count/luma/motion/temporal bins). Only containers that genuinely
+need a codec this container lacks (MP4/H.264) surface
 ``decode_status='decoder_unavailable'`` rather than failing the batch,
 as does any corrupt payload (poison-row tolerance, the S8 story at the
 media layer).
@@ -26,14 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .media_codecs import (
+    _GIF_SIGS,
     MediaDecodeError,
     audio_features,
+    decode_gif,
     decode_image,
     decode_wav,
+    encode_gif,
     encode_ppm,
     encode_png,
     encode_wav,
     image_features,
+    video_features,
 )
 
 MEDIA_SCHEMA = (
@@ -50,7 +54,7 @@ FEAT_DIM = 16
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised for kinds with no in-container decoder (video)."""
+    """Raised for containers with no in-container decoder (MP4/H.264)."""
 
 
 def _real_feature(kind: str, payload: bytes) -> np.ndarray:
@@ -60,6 +64,12 @@ def _real_feature(kind: str, payload: bytes) -> np.ndarray:
     if kind == "audio":
         sr, x = decode_wav(payload)
         return audio_features(sr, x, FEAT_DIM)
+    if kind == "video":
+        # animated GIF decodes for real (pure-python LZW); containers
+        # that need a true codec (MP4/H.264) are honestly unavailable
+        if payload[:6] in _GIF_SIGS:
+            return video_features(decode_gif(payload), FEAT_DIM)
+        raise DecoderUnavailable("no MP4/H.264 decoder in this container")
     raise DecoderUnavailable(f"no decoder for kind={kind!r} in this container")
 
 
@@ -77,8 +87,10 @@ def synth_media_rows(n: int = 64, seed: int = 123) -> list[tuple]:
 
     Payloads are genuinely decodable: images alternate real PNG / PPM
     (gradient + seeded noise), audio is 16-bit PCM WAV (two seeded
-    sinusoids + noise), video is an opaque seeded blob (no in-container
-    demuxer — exercises the decoder_unavailable branch). Shared by
+    sinusoids + noise), video alternates a REAL animated GIF (drifting
+    gradient frames, decoded via the pure-python LZW codec) and an
+    opaque MP4-ish blob (exercises the decoder_unavailable branch).
+    Shared by
     :func:`synth_media` AND the driver's DuckDB VALUES oracle for
     ``multimodal_features`` — both sides derive from the same rng
     stream, so decoded feature values are pinned BY VALUE cross-engine."""
@@ -110,11 +122,31 @@ def synth_media_rows(n: int = 64, seed: int = 123) -> list[tuple]:
             mime = "audio/wav"
             h = w = 0
         else:
-            payload = rng.integers(
-                0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8
-            ).tobytes()
-            mime = "video/mp4"
-            h = w = 0
+            if i % 2 == 0:
+                # REAL video: animated GIF (2-5 frames, drifting gradient
+                # + seeded noise) — decoded for real on executors
+                nf = int(rng.integers(2, 6))
+                h, w = int(rng.integers(12, 32)), int(rng.integers(12, 32))
+                ramp = np.arange(w)[None, :] * 255 // max(w - 1, 1)
+                frames = np.stack(
+                    [
+                        np.clip(
+                            np.roll(ramp + np.zeros((h, w), dtype=np.int64), f, axis=1)
+                            + rng.integers(0, 48, (h, w)),
+                            0, 255,
+                        )
+                        for f in range(nf)
+                    ]
+                ).astype(np.uint8)
+                payload = encode_gif(frames)
+                mime = "image/gif"
+            else:
+                # opaque blob: exercises the decoder_unavailable branch
+                payload = rng.integers(
+                    0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8
+                ).tobytes()
+                mime = "video/mp4"
+                h = w = 0
         rows.append(
             (i, kind, bytearray(payload), mime, int(w), int(h), len(payload))
         )

@@ -133,3 +133,98 @@ def test_feature_kernels_deterministic(rng):
     assert a1[0] == pytest.approx(2000 / 8000)  # duration
     assert 0.6 < a1[1] < 0.75                   # sine RMS ~ 1/sqrt(2)
     assert audio_features(8000, np.array([])).tolist() == [0.0] * 16
+
+
+# ---------------------------------------------------------------- GIF
+def test_gif_roundtrip_small(rng):
+    from pyspark_codesearch.operators.media_codecs import decode_gif, encode_gif
+
+    frames = rng.integers(0, 256, (3, 17, 23), dtype=np.uint8)
+    dec = decode_gif(encode_gif(frames))
+    assert dec.shape == (3, 17, 23, 3)
+    # grayscale palette: every channel equals the original index
+    for c in range(3):
+        assert np.array_equal(dec[:, :, :, c], frames)
+
+
+def test_gif_lzw_dict_growth_and_reset(rng):
+    """A frame large enough that the LZW dictionary grows past several
+    code-size bumps AND hits the 4096 reset (CLEAR re-emitted)."""
+    from pyspark_codesearch.operators.media_codecs import _lzw_decode, _lzw_encode
+
+    # highly repetitive -> long dictionary chains; 200k pixels >> 4096 codes
+    data = (bytes(range(256)) * 300) + b"\x07" * 120_000
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+    # also at a small min code size (4-bit palette path)
+    small = bytes(v % 16 for v in rng.integers(0, 16, 50_000))
+    assert _lzw_decode(_lzw_encode(small, 4), 4) == small
+
+
+def test_gif_single_frame_and_2d_input(rng):
+    from pyspark_codesearch.operators.media_codecs import decode_gif, encode_gif
+
+    img = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    dec = decode_gif(encode_gif(img))
+    assert dec.shape == (1, 9, 11, 3)
+    assert np.array_equal(dec[0, :, :, 0], img)
+
+
+def test_gif_partial_frame_composites():
+    """A partial second frame pastes onto the previous canvas
+    (do-not-dispose semantics)."""
+    from pyspark_codesearch.operators.media_codecs import decode_gif, encode_gif
+    import struct as _s
+
+    base = np.full((8, 8), 100, dtype=np.uint8)
+    patch = np.full((2, 3), 200, dtype=np.uint8)
+    payload = bytearray(encode_gif(base))
+    assert payload[-1] == 0x3B
+    del payload[-1]
+    # hand-append a partial-frame image descriptor at (left=2, top=3)
+    from pyspark_codesearch.operators.media_codecs import _lzw_encode
+
+    payload += b"\x2C" + _s.pack("<HHHH", 2, 3, 3, 2) + b"\x00" + bytes([8])
+    comp = _lzw_encode(patch.tobytes(), 8)
+    payload.append(len(comp)); payload += comp; payload.append(0)
+    payload.append(0x3B)
+    dec = decode_gif(bytes(payload))
+    assert dec.shape == (2, 8, 8, 3)
+    assert (dec[0, :, :, 0] == 100).all()
+    expect = base.copy()
+    expect[3:5, 2:5] = 200
+    assert np.array_equal(dec[1, :, :, 0], expect)
+
+
+def test_gif_errors(rng):
+    from pyspark_codesearch.operators.media_codecs import decode_gif, encode_gif
+
+    with pytest.raises(MediaDecodeError):
+        decode_gif(b"NOTAGIF" + bytes(40))
+    good = encode_gif(rng.integers(0, 256, (2, 10, 10), dtype=np.uint8))
+    with pytest.raises(MediaDecodeError):
+        decode_gif(good[: len(good) // 2])  # truncated
+    # flip the interlace bit of the first image descriptor
+    bad = bytearray(good)
+    idx = bad.index(0x2C, 13 + 768)
+    bad[idx + 9] |= 0x40
+    with pytest.raises(MediaDecodeError):
+        decode_gif(bytes(bad))
+
+
+def test_video_features_deterministic(rng):
+    from pyspark_codesearch.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+        video_features,
+    )
+
+    frames = rng.integers(0, 256, (4, 15, 15), dtype=np.uint8)
+    f1 = video_features(decode_gif(encode_gif(frames)))
+    f2 = video_features(decode_gif(encode_gif(frames)))
+    assert f1.shape == (16,) and f1.dtype == np.float32
+    assert np.array_equal(f1, f2)
+    assert f1[0] == 4.0  # n_frames
+    assert 0.0 <= f1[1] <= 1.0 and f1[3] > 0.0  # luma mean, motion
+    # single-frame video: zero motion
+    single = video_features(frames[:1][:, :, :, None].repeat(3, axis=3))
+    assert single[0] == 1.0 and single[3] == 0.0

@@ -96,20 +96,23 @@ def test_media_features_deterministic(spark):
 
 
 def test_media_real_decode(spark):
-    """Round 4: PNG/PPM images and WAV audio REALLY decode on executors
-    (pure stdlib/numpy codecs); video has no in-container demuxer and
-    surfaces decoder_unavailable; features match a driver-side decode of
-    the same payloads bit-for-bit."""
-    import numpy as np
-
+    """PNG/PPM images, WAV audio AND animated-GIF video REALLY decode on
+    executors (pure stdlib/numpy codecs); only MP4 blobs (no demuxer in
+    the container) surface decoder_unavailable; features match a
+    driver-side decode of the same payloads bit-for-bit."""
     from pyspark_codesearch.operators.multimodal import _real_feature
 
-    media = synth_media(spark, 12)
+    media = synth_media(spark, 24)
+    mimes = {r["media_id"]: r["mime"] for r in media.collect()}
     rows = extract_features(media).collect()
     status = {r["media_id"]: r["decode_status"] for r in rows}
     kinds = {r["media_id"]: r["kind"] for r in rows}
     for mid, k in kinds.items():
-        assert status[mid] == ("decoder_unavailable" if k == "video" else "ok"), (mid, k)
+        want = "decoder_unavailable" if mimes[mid] == "video/mp4" else "ok"
+        assert status[mid] == want, (mid, k, mimes[mid])
+    # both video branches are present in the fixture
+    assert any(k == "video" and status[m] == "ok" for m, k in kinds.items())
+    assert any(k == "video" and status[m] == "decoder_unavailable" for m, k in kinds.items())
     payloads = {r["media_id"]: (r["kind"], bytes(r["payload"])) for r in media.collect()}
     for r in rows:
         if r["decode_status"] != "ok":
