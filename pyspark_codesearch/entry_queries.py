@@ -1108,3 +1108,14 @@ def s3_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# per-partition NSW graph ANN prototype (r5; ARCHITECTURE §7): lossy by
+# design, so no SQL oracle — recall >=0.9@10 vs brute cosine + exact
+# self-hit + determinism are pinned in pytest (test_dedup_simsearch).
+register("simsearch_ann_nsw")(
+    lambda spark, sf_dir: _ss.nsw_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        {"q0": _query_vec(spark, sf_dir)}, k=20, n_partitions=4,
+    )
+)

@@ -500,3 +500,130 @@ def embedding_near_dup_pairs(
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+# -------------------------------------------------------- NSW graph ANN
+# Per-partition Navigable-Small-World prototype (the HNSW-class shape the
+# reference gets from ES dense_vector index:true, es_indexer.py:111-128;
+# deviation rationale in ARCHITECTURE.md §7): embeddings are hash-
+# partitioned, each partition builds an in-memory NSW graph inside ONE
+# applyInPandas task and beam-searches the whole query batch against it,
+# then a global per-query top-k merges partitions. No shuffle beyond the
+# initial repartition; graph build cost is per-partition and the batch
+# amortizes it across queries. Lossy — recall vs brute cosine is pinned
+# by tests (>=0.9@10 on the fixture).
+
+
+def _nsw_beam_search(V, adj, q, ef: int):
+    """Greedy beam search over one partition's NSW graph.
+
+    V: (n, d) row-normalized; q: (d,) normalized; returns [(sim, idx)]
+    best-first, len <= ef. Deterministic: ties break on the int index."""
+    import heapq
+
+    entry = 0
+    s0 = float(V[entry] @ q)
+    visited = {entry}
+    cand = [(-s0, entry)]
+    best = [(s0, entry)]
+    while cand:
+        neg, c = heapq.heappop(cand)
+        if -neg < best[0][0] and len(best) >= ef:
+            break
+        for nb in adj[c]:
+            if nb in visited:
+                continue
+            visited.add(nb)
+            s = float(V[nb] @ q)
+            if len(best) < ef or s > best[0][0]:
+                heapq.heappush(cand, (-s, nb))
+                heapq.heappush(best, (s, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted(best, key=lambda t: (-t[0], t[1]))
+
+
+def _build_nsw(V, max_degree: int, ef_construction: int):
+    """Incremental NSW build: connect each node to its ef-searched
+    nearest existing nodes; degree-trim keeps the most similar."""
+    n = V.shape[0]
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _nsw_beam_search(V[:i], adj[:i], V[i], min(ef_construction, i))
+        nbrs = [j for _, j in found[:max_degree]]
+        for j in nbrs:
+            adj[i].append(j)
+            adj[j].append(i)
+            if len(adj[j]) > 2 * max_degree:
+                sims = V[adj[j]] @ V[j]
+                order = sorted(range(len(adj[j])), key=lambda t: (-sims[t], adj[j][t]))
+                adj[j] = [adj[j][t] for t in order[:max_degree]]
+    return adj
+
+
+def nsw_topk(
+    embeddings: DataFrame,
+    queries: dict[str, list[float]],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_partitions: int = 4,
+    max_degree: int = 12,
+    ef_construction: int = 48,
+    ef_search: int = 64,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate per-query top-k: (query_id, rank, vec_id, cos).
+
+    Scale shape: partition graphs are independent (built map-side in one
+    applyInPandas task each; at 10^12 scale the graphs would be built
+    once and persisted as adjacency parquet, this prototype rebuilds per
+    call); the only shuffle is the hash repartition + the final
+    per-query top-k merge of n_partitions * k candidate rows."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    qitems = sorted(queries.items())
+    Q = np.stack([np.asarray(v, dtype=np.float64) for _, v in qitems])
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = [qid for qid, _ in qitems]
+    md, efc, efs, kk = max_degree, ef_construction, ef_search, k
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__vid").reset_index(drop=True)  # deterministic insert order
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Vn = V / norms
+        adj = _build_nsw(Vn, md, efc)
+        ids = pdf["__vid"].to_numpy()
+        out_q, out_id, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            hits = _nsw_beam_search(Vn, adj, Q[qi], max(efs, kk))[:kk]
+            for s, j in hits:
+                out_q.append(qid)
+                out_id.append(int(ids[j]))
+                out_c.append(float(s))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_id, "cos": out_c})
+
+    prepped = embeddings.select(
+        F.col(id_col).cast("long").alias("__vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_partitions))).alias("__part"),
+    )
+    per_part = prepped.groupBy("__part").applyInPandas(
+        run, "query_id string, vec_id long, cos double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    out = (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "vec_id",
+            (F.round(F.col("cos"), round_to) if round_to else F.col("cos")).alias("cos"),
+        )
+        .orderBy("query_id", "rank")
+    )
+    return out

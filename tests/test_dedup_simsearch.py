@@ -294,3 +294,33 @@ def test_near_pairs_signature_side_shuffle_free(planted):
         for r in simhash_near_pairs(planted, max_hamming=6, use_pandas=False).collect()
     }
     assert a == b
+
+
+def test_nsw_topk_recall_and_determinism(spark, sf_dir):
+    """Per-partition NSW graph ANN (ARCHITECTURE §7 prototype): recall
+    >= 0.9@10 vs brute cosine on the real embeddings table, exact top-1
+    self-hit, deterministic across runs."""
+    from pyspark_codesearch.operators.simsearch import nsw_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin([0, 7, 123, 321])).collect()}
+    queries = {f"q{vid}": vec for vid, vec in qrows.items()}
+
+    got = nsw_topk(emb, queries, k=10, n_partitions=4).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    assert set(by_q) == set(queries)
+
+    total_hits = 0
+    for vid, vec in qrows.items():
+        brute = [r["vec_id"] for r in cosine_topk(emb, vec, k=10).collect()]
+        ann = [v for _, v, _ in sorted(by_q[f"q{vid}"])]
+        assert ann[0] == vid, (vid, ann)            # exact self-hit at rank 1
+        total_hits += len(set(brute) & set(ann))
+    recall = total_hits / (10 * len(qrows))
+    assert recall >= 0.9, recall
+
+    got2 = nsw_topk(emb, queries, k=10, n_partitions=4).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
