@@ -18,9 +18,9 @@ code-aware splitting per BASELINE.json input_hint):
      letters ("wifiワイファイ" -> ``wifi`` + ``ワイファイ``)
    Covered blocks: Hiragana (minus combining voicing marks), CJK Unified
    + Ext A + compat + supplementary-plane Ext B..G, Katakana + phonetic
-   ext, Hangul syllables + jamo + compat jamo + jamo ext A/B. Rare
-   ideographic iteration marks (々 〇) are out of scope — documented
-   deviation, they fall through as ordinary letters.
+   ext, Hangul syllables + jamo + compat jamo + jamo ext A/B, and the
+   ideographic iteration marks 々 〻 and 〇 (Han-script Lm/Nl — per-char
+   like Han; kana iteration marks ゝゞ / ヽヾ ride their blocks' ranges).
 2. split CamelCase boundaries      ``fooBar`` -> ``foo Bar``,
                                    ``HTTPServer`` -> ``HTTP Server``
    (ASCII-only by design: camelCase is an ASCII identifier convention)
@@ -68,6 +68,7 @@ _STOP_SET = frozenset(ENGLISH_STOPWORDS)
 # engines match ranges by code point.
 _HAN_HIRA = (
     "ぁ-ゖゝ-ゟ"            # Hiragana (not ゙-゜ marks)
+    "々〇〻"                # ideographic iteration marks + 〇 (Lm/Nl, Han script)
     "㐀-䶿一-鿿豈-﫿"  # Han: Ext A, Unified, compat
     "\U00020000-\U0002fa1f\U00030000-\U0003134f"  # Han: Ext B..F+compat, Ext G
 )

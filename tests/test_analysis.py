@@ -42,6 +42,8 @@ CASES = [
     "\ud55c\uad6d\uc5b4\uc870\uc0ac\uc5c6\uc774 jamo\u1100\u1101 compat\u3131\u3134",
     "cafe\u0301 mixed with caf\u00e9 forms",
     "\u30ac\u30ae\u30b0\u30b2\u30b4 voiced \u304b\u3099 composed \u304c",
+    # ideographic iteration marks (round 5): per-char like Han
+    "\u4f50\u3005\u6728 \u6642\u3005 \u3007\u3005abc \u301c\u303b",
 ]
 
 
@@ -72,6 +74,9 @@ def test_unicode_spec():
     # non-Latin scripts tokenize instead of vanishing
     assert tokenize_py("\u041c\u043e\u0441\u043a\u0432\u0430-\u0441\u0438\u0442\u0438") == ["\u043c\u043e\u0441\u043a\u0432\u0430", "\u0441\u0438\u0442\u0438"]
     assert tokenize_py("\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8") == ["\ud55c\uad6d\uc5b4", "\ud14d\uc2a4\ud2b8"]
+    # ideographic iteration marks 々 〇 〻 segment per-char like Han
+    assert tokenize_py("\u4f50\u3005\u6728") == ["\u4f50", "\u3005", "\u6728"]
+    assert tokenize_py("\u3005abc\u3007") == ["\u3005", "abc", "\u3007"]
     # emoji/symbols/punct are separators
     assert tokenize_py("emoji \U0001f680 rocket") == ["emoji", "rocket"]
 
