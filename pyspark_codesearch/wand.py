@@ -204,6 +204,80 @@ def _score_salt(
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
 
 
+def _score_group_gemm(
+    term_groups: dict[str, pd.DataFrame],
+    lens_pdf: pd.DataFrame,
+    qtfs: dict[str, dict[str, float]],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    qsalts: dict[str, set] | None,
+    group_salts: set,
+) -> pd.DataFrame:
+    """One group's whole query batch as a single matmul.
+
+    C[doc, term] = tf/(tf + norm)  (query-independent, ONE scatter per
+    term); W[term, query] = qtf * idf; S = C @ W. Each query then costs
+    one BLAS column plus a top-k select — no per-query python loop over
+    terms. Matched docs always score > 0 (every partial is positive), so
+    S == 0 exactly identifies docs a query did not match."""
+    base, norm_c = _prep_lens(lens_pdf, avgdl, k1, b)
+    terms = sorted(term_groups)
+    ids_list, contribs = [], []
+    for t in terms:
+        ids, tfs = _decode_term_blocks(term_groups[t])
+        ids_list.append(ids)
+        contribs.append(tfs / (tfs + norm_c[ids - base]))
+    all_ids = np.unique(np.concatenate(ids_list))
+    C = np.zeros((all_ids.size, len(terms)), dtype=np.float64)
+    for j, (ids, con) in enumerate(zip(ids_list, contribs)):
+        C[np.searchsorted(all_ids, ids), j] = con
+    tindex = {t: j for j, t in enumerate(terms)}
+    qids = [
+        qid
+        for qid, qtf in qtfs.items()
+        if any(t in tindex for t in qtf)
+        and (qsalts is None or qsalts[qid] & group_salts)
+    ]
+    if not qids:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="object"),
+             "doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    W = np.zeros((len(terms), len(qids)), dtype=np.float64)
+    for qi, qid in enumerate(qids):
+        for t, c in qtfs[qid].items():
+            j = tindex.get(t)
+            if j is not None:
+                W[j, qi] = c * _idf(n_docs, float(dfs[t]))
+    S = C @ W
+    out_q, out_id, out_s = [], [], []
+    for qi, qid in enumerate(qids):
+        col = S[:, qi]
+        nz = np.nonzero(col)[0]
+        if nz.size == 0:
+            continue
+        take = nz[np.lexsort((all_ids[nz], -col[nz]))[: min(k, nz.size)]]
+        out_q.extend([qid] * take.size)
+        out_id.append(all_ids[take])
+        out_s.append(col[take])
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="object"),
+             "doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    return pd.DataFrame(
+        {"query_id": out_q,
+         "doc_id": np.concatenate(out_id),
+         "score": np.concatenate(out_s)}
+    )
+
+
 def prepare_lens_by_salt(doc_lens: DataFrame, salt_range: int) -> DataFrame:
     """doc_lens pre-partitioned by salt, cached: the lens side of every
     query's cogroup then arrives already hash-partitioned on the group
@@ -440,8 +514,20 @@ def wand_topk_batch(
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
     impact_scale: float = 1.0,
     salt_group_factor: int | None = 1,
+    strategy: str = "maxscore",
 ) -> DataFrame:
     """All queries in ONE cogroup pass: (query_id, rank, doc_id, score).
+
+    ``strategy='gemm'`` replaces the per-query MaxScore loop with one
+    scatter per TERM into a dense (group docs x batch terms) contribution
+    matrix C followed by a single ``C @ W`` matmul (W = terms x queries
+    qtf*idf weights) — per-query work collapses to one BLAS column +
+    top-k select. No per-query pruning, so it pays off when the batch is
+    wide enough that MaxScore's candidate freeze no longer saves decode
+    work (the contrib cache already decodes each term once either way).
+    Memory is bounded: C is at most salt_range x |batch vocabulary|.
+    Scores are exact (same per-(doc,term) partials; summation order
+    differs by the usual float 1 ULP — tests pin 1e-9 parity).
 
     Segments are scanned once, term-pruned to the union of all query
     terms; every salt partition runs the MaxScore scorer once per query
@@ -461,6 +547,8 @@ def wand_topk_batch(
     ran 2.8x slower. Coarsening remains for latency-bound single
     queries (:func:`wand_topk` uses G=16 in the bench). Exactness is
     unaffected by G (doc ranges stay disjoint; pinned by tests)."""
+    if strategy not in ("maxscore", "gemm"):
+        raise ValueError(f"unknown batch strategy {strategy!r}")
     spark = segments.sparkSession
     qtfs = {
         qid: {t: float(c) for t, c in Counter(tokenize_py(q)).items()}
@@ -512,16 +600,21 @@ def wand_topk_batch(
         # salts actually present in this (possibly coarse) group — the
         # per-query skip below intersects against them
         group_salts = set(int(s) for s in seg_pdf["salt"].unique())
+        term_groups = {
+            t: g.sort_values(["salt", "block_id"])
+            for t, g in seg_pdf.groupby("term", sort=False)
+        }
+        if strategy == "gemm":
+            return _score_group_gemm(
+                term_groups, lens_pdf, qtfs, dfs, n_docs, avgdl, k, k1, b,
+                qsalts, group_salts,
+            )
         # shared across this group's queries: per-doc norm constants, a
         # term -> (ids, contrib) cache (decode + divide once per group,
         # not per query), and the frame pre-split by term ONCE (no
         # per-query isin/groupby re-scan of the group frame)
         prep = _prep_lens(lens_pdf, avgdl, k1, b)
         cache: dict = {}
-        term_groups = {
-            t: g.sort_values(["salt", "block_id"])
-            for t, g in seg_pdf.groupby("term", sort=False)
-        }
         for qid, qtf in qtfs.items():
             if not qtf or (qsalts is not None and not (qsalts[qid] & group_salts)):
                 continue

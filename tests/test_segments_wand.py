@@ -347,3 +347,44 @@ def test_search_topk_auto_dispatch(env):
     )
     assert route["route"] == "exact"
     assert out.count() >= 1
+
+
+def test_wand_batch_gemm_strategy_exact(env):
+    """strategy='gemm' (one C @ W matmul per group) is result-identical
+    to the MaxScore loop: same docs, same ranks, scores to 1e-9."""
+    from pyspark_codesearch.wand import (
+        collect_term_salts,
+        prepare_lens_by_salt,
+        wand_topk_batch,
+    )
+
+    df_lookup = {r["term"]: int(r["df"]) for r in env["term_stats"].collect()}
+    salt_lookup = collect_term_salts(env["segments"])
+    lens_by_salt = prepare_lens_by_salt(env["doc_lens"], SALT_RANGE)
+    qmap = {
+        "a": "parse json string",
+        "b": "uniqterm000042",
+        "c": "return data index query token merge",
+        "d": "zzznotaterm only unknowns qq",
+        "e": "index",
+    }
+    kw = dict(salt_range=SALT_RANGE, lens_by_salt=lens_by_salt,
+              df_lookup=df_lookup, salt_lookup=salt_lookup)
+    base = wand_topk_batch(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+        qmap, 5, strategy="maxscore", **kw,
+    ).collect()
+    gemm = wand_topk_batch(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+        qmap, 5, strategy="gemm", **kw,
+    ).collect()
+    bk = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in base}
+    gk = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in gemm}
+    assert bk.keys() == gk.keys()
+    for key in bk:
+        assert bk[key][0] == gk[key][0], key
+        assert gk[key][1] == pytest.approx(bk[key][1], abs=1e-9), key
+    assert any(r["query_id"] == "b" for r in base)
+    with pytest.raises(ValueError):
+        wand_topk_batch(env["segments"], env["doc_lens"], env["term_stats"],
+                        env["stats"], qmap, 5, strategy="nope", **kw)
