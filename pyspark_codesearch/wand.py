@@ -204,6 +204,14 @@ def _score_salt(
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
 
 
+# 'auto' batch-strategy budget: max dense-matrix cells (docs x terms) a
+# single group task may allocate for the GEMM path — 8M cells = 64 MB of
+# float64, so even a full wave of concurrent tasks stays far under
+# executor memory. Above it the group falls back to the MaxScore loop,
+# whose working set is O(candidates), not O(docs x vocab).
+GEMM_BUDGET_CELLS = 8_000_000
+
+
 def _score_group_gemm(
     term_groups: dict[str, pd.DataFrame],
     lens_pdf: pd.DataFrame,
@@ -514,7 +522,7 @@ def wand_topk_batch(
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
     impact_scale: float = 1.0,
     salt_group_factor: int | None = 1,
-    strategy: str = "maxscore",
+    strategy: str = "auto",
 ) -> DataFrame:
     """All queries in ONE cogroup pass: (query_id, rank, doc_id, score).
 
@@ -524,10 +532,18 @@ def wand_topk_batch(
     qtf*idf weights) — per-query work collapses to one BLAS column +
     top-k select. No per-query pruning, so it pays off when the batch is
     wide enough that MaxScore's candidate freeze no longer saves decode
-    work (the contrib cache already decodes each term once either way).
-    Memory is bounded: C is at most salt_range x |batch vocabulary|.
-    Scores are exact (same per-(doc,term) partials; summation order
-    differs by the usual float 1 ULP — tests pin 1e-9 parity).
+    work (the contrib cache already decodes each term once either way):
+    measured at sf0.1 x16 (80k docs, local[32]) the 36-query batch runs
+    ~20% faster (1.0 vs 1.25 s), the 8-query batch at parity.
+
+    ``'auto'`` (default) decides PER GROUP, inside the task, where the
+    group's posting volume is known: gemm when the dense matrix stays
+    under ``GEMM_BUDGET_CELLS`` (estimated as group postings x batch
+    vocabulary — an upper bound of the true union x vocab), MaxScore
+    otherwise — so a production-sized salt (2^20 docs) with a wide
+    batch never allocates a multi-GB C. Results are identical either
+    way (both exact; summation order differs by the usual float 1 ULP —
+    tests pin 1e-9 parity).
 
     Segments are scanned once, term-pruned to the union of all query
     terms; every salt partition runs the MaxScore scorer once per query
@@ -547,8 +563,12 @@ def wand_topk_batch(
     ran 2.8x slower. Coarsening remains for latency-bound single
     queries (:func:`wand_topk` uses G=16 in the bench). Exactness is
     unaffected by G (doc ranges stay disjoint; pinned by tests)."""
-    if strategy not in ("maxscore", "gemm"):
+    if strategy not in ("maxscore", "gemm", "auto"):
         raise ValueError(f"unknown batch strategy {strategy!r}")
+    # snapshot on the DRIVER at plan time: score_fn runs in executor
+    # python workers that re-import this module, where a test's (or
+    # user's) module-level override would not be visible
+    gemm_budget = GEMM_BUDGET_CELLS
     spark = segments.sparkSession
     qtfs = {
         qid: {t: float(c) for t, c in Counter(tokenize_py(q)).items()}
@@ -604,7 +624,15 @@ def wand_topk_batch(
             t: g.sort_values(["salt", "block_id"])
             for t, g in seg_pdf.groupby("term", sort=False)
         }
-        if strategy == "gemm":
+        pick = strategy
+        if pick == "auto":
+            # upper bound of the dense C without decoding anything: the
+            # union of posting ids is capped by BOTH the group's total
+            # postings and the docs actually in this salt group (the
+            # cogrouped lens side lists exactly those)
+            est_docs = min(int(seg_pdf["n_docs"].sum()), len(lens_pdf))
+            pick = "gemm" if est_docs * len(term_groups) <= gemm_budget else "maxscore"
+        if pick == "gemm":
             return _score_group_gemm(
                 term_groups, lens_pdf, qtfs, dfs, n_docs, avgdl, k, k1, b,
                 qsalts, group_salts,

@@ -374,16 +374,30 @@ def test_wand_batch_gemm_strategy_exact(env):
         env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
         qmap, 5, strategy="maxscore", **kw,
     ).collect()
-    gemm = wand_topk_batch(
-        env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
-        qmap, 5, strategy="gemm", **kw,
-    ).collect()
     bk = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in base}
-    gk = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in gemm}
-    assert bk.keys() == gk.keys()
-    for key in bk:
-        assert bk[key][0] == gk[key][0], key
-        assert gk[key][1] == pytest.approx(bk[key][1], abs=1e-9), key
+    for strat in ("gemm", "auto"):
+        got = wand_topk_batch(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            qmap, 5, strategy=strat, **kw,
+        ).collect()
+        gk = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in got}
+        assert bk.keys() == gk.keys(), strat
+        for key in bk:
+            assert bk[key][0] == gk[key][0], (strat, key)
+            assert gk[key][1] == pytest.approx(bk[key][1], abs=1e-9), (strat, key)
+    # auto falls back to maxscore when the dense matrix would exceed budget
+    import pyspark_codesearch.wand as wand_mod
+    old_budget = wand_mod.GEMM_BUDGET_CELLS
+    try:
+        wand_mod.GEMM_BUDGET_CELLS = 0
+        tiny = wand_topk_batch(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            qmap, 5, strategy="auto", **kw,
+        ).collect()
+    finally:
+        wand_mod.GEMM_BUDGET_CELLS = old_budget
+    tk = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in tiny}
+    assert tk.keys() == bk.keys()
     assert any(r["query_id"] == "b" for r in base)
     with pytest.raises(ValueError):
         wand_topk_batch(env["segments"], env["doc_lens"], env["term_stats"],
