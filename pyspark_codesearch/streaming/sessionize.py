@@ -112,6 +112,8 @@ def sessionize_stream_event_time(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "10 minutes",
+    remove_idle_state: bool = False,
+    session_id_from_start: bool = False,
 ) -> DataFrame:
     """Event-time sessionization: sessions close deterministically on
     STREAM time, matching the batch gap rule (operators/relational.
@@ -140,7 +142,26 @@ def sessionize_stream_event_time(
     (bounded by delay x per-user event rate); timers are per-key
     timestamps in the state store, so a watermark advance touches only
     keys whose timeout passed.
+
+    Idle-state cleanup: by default a user whose sessions all closed
+    keeps a tiny sentinel row forever — the session COUNTER must
+    survive or a returning user would restart at session_id 0 and
+    re-emit used (user, session_id) keys. Over 10^9-user populations
+    that residual is real state-store weight. ``remove_idle_state=True``
+    REMOVES fully-idle state (no open session, no pending) the moment
+    it goes idle; removal is only id-safe when ids cannot collide
+    across state loss, so it requires ``session_id_from_start=True``:
+    session_id becomes the session's start timestamp (epoch us) —
+    unique per user because a user's sessions are disjoint in event
+    time, and a post-removal return necessarily starts at
+    ts >= watermark > every prior session's start.
     """
+    if remove_idle_state and not session_id_from_start:
+        raise ValueError(
+            "remove_idle_state requires session_id_from_start=True: "
+            "removing counter-based state would re-emit used session ids "
+            "when the user returns"
+        )
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1000
 
@@ -166,16 +187,31 @@ def sessionize_stream_event_time(
         finalized = [(t, c) for t, c in pend if t < wm_us]
         pend = [(t, c) for t, c in pend if t >= wm_us]
         out: list[dict] = []
+
+        def emit(sid_, start_, last_, n_, cents_):
+            out.append(_close(
+                user_id, start_ if session_id_from_start else sid_,
+                start_, last_, n_, cents_,
+            ))
+
         for ts_us, c in finalized:
             if last is not None and ts_us - last > gap_us:
-                out.append(_close(user_id, sid, start, last, n, cents))
+                emit(sid, start, last, n, cents)
                 sid, start, n, cents = sid + 1, ts_us, 0, 0
             if start is None:
                 start = ts_us
             last, n, cents = ts_us, n + 1, cents + c
         if n > 0 and wm_us > last + gap_us:
-            out.append(_close(user_id, sid, start, last, n, cents))
+            emit(sid, start, last, n, cents)
             sid, start, last, n, cents = sid + 1, None, None, 0, 0
+        if remove_idle_state and n == 0 and not pend:
+            # fully idle: nothing this state protects except the counter,
+            # and start-derived ids make the counter disposable — drop the
+            # row now; a returning user recreates state from scratch
+            state.remove()
+            if out:
+                yield pd.DataFrame(out)
+            return
         state.update(
             (sid, start, last, n, cents,
              [t for t, _ in pend], [c for _, c in pend])

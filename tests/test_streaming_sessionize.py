@@ -276,3 +276,77 @@ def test_event_time_out_of_order_across_batches(spark, tmp_path):
         per_user.setdefault(r["user_id"], []).append((r["n_events"], r["session_value"]))
     stream_u1 = [got[(1, s)][:2] for s in sorted(s for (u, s) in got if u == 1)]
     assert stream_u1 == per_user[1][: len(stream_u1)]
+
+
+def test_event_time_idle_state_removal(spark, tmp_path):
+    """remove_idle_state + session_id_from_start: fully-idle users leave
+    the state store (numRowsTotal shrinks to just the live user), session
+    ids become start timestamps and stay unique across state loss, and a
+    returning user's sessions emit exactly once."""
+    from pyspark_codesearch.streaming.sessionize import sessionize_stream_event_time
+
+    with pytest.raises(ValueError):
+        sessionize_stream_event_time(
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(str(tmp_path)),
+            remove_idle_state=True,
+        )
+
+    def run(remove_idle, tag):
+        src = tmp_path / f"in_{tag}"
+        ckpt = str(tmp_path / f"ck_{tag}")
+        sink = str(tmp_path / f"out_{tag}")
+        src.mkdir()
+        schema = "event_id long, user_id long, ts timestamp, value double"
+        stages = [
+            [_ev(1, 0, 10.0, 0), _ev(1, 5, 2.5, 1), _ev(2, 0, 7.0, 2)],
+            [_ev(99, 120, 0.0, 3)],            # advances wm to 110'
+            [_ev(99, 130, 0.0, 4)],            # batch runs AT wm 110' -> u1/u2 close + idle
+            [_ev(1, 200, 4.0, 5), _ev(1, 205, 1.0, 6), _ev(99, 400, 0.0, 7)],
+            [_ev(99, 410, 0.0, 8)],            # batch at wm 390' -> u1 second session closes
+        ]
+        last_state_rows = None
+        for chunk in stages:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                sessionize_stream_event_time(
+                    stream, gap_minutes=30, watermark="10 minutes",
+                    remove_idle_state=remove_idle,
+                    session_id_from_start=True,
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            for p in reversed(q.recentProgress):
+                ops = p.get("stateOperators") or []
+                if ops:
+                    last_state_rows = ops[0]["numRowsTotal"]
+                    break
+        rows = [tuple(r) for r in spark.read.parquet(sink).collect()]
+        return rows, last_state_rows
+
+    rows, state_rows = run(True, "rm")
+    base_us = int(pd.Timestamp("2024-01-01").value // 1000)
+    mine = sorted((u, sid, n, v) for u, sid, n, v, _s, _e in rows if u in (1, 2))
+    assert mine == [
+        (1, base_us, 2, 12.5),                    # session_id == start_us
+        (1, base_us + 200 * MIN_US, 2, 5.0),      # post-removal return: new unique id
+        (2, base_us, 1, 7.0),
+    ]
+    # no duplicate (user, session_id) keys anywhere
+    keys = [(u, sid) for u, sid, *_ in rows]
+    assert len(keys) == len(set(keys))
+    # state store holds only the still-live user (99)
+    assert state_rows == 1, state_rows
+
+    rows_keep, state_rows_keep = run(False, "keep")
+    assert sorted((u, sid, n, v) for u, sid, n, v, _s, _e in rows_keep if u in (1, 2)) == mine
+    assert state_rows_keep == 3, state_rows_keep   # u1 + u2 sentinels retained
