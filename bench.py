@@ -19,8 +19,11 @@ Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
   simsearch           brute-force cosine top-20 over embeddings
   relational          pricing summary + revenue-by-nation star join
 
-Every workload is timed best-of-$BENCH_RUNS (default 2): this sandbox VM
-has large cross-minute frequency variance.
+Every workload is timed best-of-$BENCH_RUNS (default 3); the sub-second
+query sections repeat more, best-of-$BENCH_QUERY_RUNS (default 4): this
+sandbox VM has large cross-minute frequency variance, and ALU + memory-
+bandwidth probes bracket the engine sections so a degraded window is
+visible in the JSON line itself (control_* fields).
 
 {"metric": "total_wall_sec", "value": N, "unit": "sec",
  "queries": {name: sec, ...}, "sf": 0.1, "files_per_sec": ...}

@@ -374,10 +374,14 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
 
 @_normalize_errors
 def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF87a/GIF89a -> uint8 (n_frames, H, W, 3) via palette expansion.
+    """GIF87a/GIF89a -> uint8 (n_frames, H, W, 3).
 
-    Partial-frame images composite onto the previous canvas
-    (do-not-dispose); interlaced images are rejected."""
+    Each image's indices are expanded through ITS OWN color table
+    (global or local) and composited onto an RGB canvas, so per-frame
+    local palettes and delta frames decode correctly; GCE-transparent
+    pixels preserve the underlying canvas (the delta-frame encoding
+    every optimized animated GIF uses). Partial frames composite
+    do-not-dispose style; interlaced images are rejected."""
     if payload[:6] not in _GIF_SIGS:
         raise MediaDecodeError("not a GIF payload")
     W, H, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
@@ -401,15 +405,19 @@ def decode_gif(payload: bytes) -> np.ndarray:
             j += n
 
     frames: list[np.ndarray] = []
-    canvas = np.zeros((H, W), dtype=np.int32)  # palette indices
-    pal_per_frame: list[np.ndarray] = []
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)  # composited RGB
+    transp_idx = None  # from the GCE preceding the next image, if any
     while i < len(payload):
         block = payload[i]
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, all skippable
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[i + 1]
             i += 2
-            _, i = sub_blocks(i)
+            body, i = sub_blocks(i)
+            if label == 0xF9 and len(body) >= 4:
+                # Graphic Control Extension: packed bit 0 = transparency
+                transp_idx = body[3] if body[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise MediaDecodeError(f"unexpected GIF block 0x{block:02x}")
@@ -432,18 +440,20 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise MediaDecodeError("truncated GIF frame data")
         if left + w > W or top + h > H:
             raise MediaDecodeError("GIF frame exceeds logical screen")
-        canvas[top : top + h, left : left + w] = (
-            idx[: w * h].reshape(h, w).astype(np.int32)
-        )
-        if int(canvas.max()) >= len(pal):
+        idx = idx[: w * h].reshape(h, w)
+        if int(idx.max()) >= len(pal):
             raise MediaDecodeError("GIF index outside palette")
+        rect = canvas[top : top + h, left : left + w]
+        if transp_idx is not None:
+            opaque = idx != transp_idx
+            rect[opaque] = pal[idx[opaque]]
+        else:
+            rect[:] = pal[idx]
+        transp_idx = None  # a GCE governs only the image that follows it
         frames.append(canvas.copy())
-        pal_per_frame.append(pal)
     if not frames:
         raise MediaDecodeError("GIF with no image data")
-    return np.stack(
-        [pal[idx] for idx, pal in zip(frames, pal_per_frame)]
-    ).astype(np.uint8)
+    return np.stack(frames)
 
 
 # ------------------------------------------------------------- dispatch

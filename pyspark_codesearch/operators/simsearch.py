@@ -583,7 +583,6 @@ def nsw_topk(
     per-query top-k merge of n_partitions * k candidate rows."""
     import pandas as pd
 
-    spark = embeddings.sparkSession
     qitems = sorted(queries.items())
     Q = np.stack([np.asarray(v, dtype=np.float64) for _, v in qitems])
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)

@@ -204,11 +204,12 @@ def _score_salt(
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
 
 
-# 'auto' batch-strategy budget: max dense-matrix cells (docs x terms) a
-# single group task may allocate for the GEMM path — 8M cells = 64 MB of
-# float64, so even a full wave of concurrent tasks stays far under
-# executor memory. Above it the group falls back to the MaxScore loop,
-# whose working set is O(candidates), not O(docs x vocab).
+# 'auto' batch-strategy budget: max dense cells — docs x (terms +
+# queries), covering BOTH the contribution matrix C and the score matrix
+# S = C @ W — a single group task may allocate for the GEMM path. 8M
+# cells = 64 MB of float64, so even a full wave of concurrent tasks
+# stays far under executor memory. Above it the group falls back to the
+# MaxScore loop, whose working set is O(candidates), not O(docs x vocab).
 GEMM_BUDGET_CELLS = 8_000_000
 
 
@@ -626,12 +627,15 @@ def wand_topk_batch(
         }
         pick = strategy
         if pick == "auto":
-            # upper bound of the dense C without decoding anything: the
-            # union of posting ids is capped by BOTH the group's total
-            # postings and the docs actually in this salt group (the
-            # cogrouped lens side lists exactly those)
+            # upper bound of the dense allocations without decoding
+            # anything: union of posting ids is capped by BOTH the
+            # group's total postings and the docs actually in this salt
+            # group (the cogrouped lens side lists exactly those). The
+            # budget covers C (docs x terms) AND the result S = C @ W
+            # (docs x queries) — a wide batch makes S the bigger matrix
             est_docs = min(int(seg_pdf["n_docs"].sum()), len(lens_pdf))
-            pick = "gemm" if est_docs * len(term_groups) <= gemm_budget else "maxscore"
+            est_cells = est_docs * (len(term_groups) + len(qtfs))
+            pick = "gemm" if est_cells <= gemm_budget else "maxscore"
         if pick == "gemm":
             return _score_group_gemm(
                 term_groups, lens_pdf, qtfs, dfs, n_docs, avgdl, k, k1, b,

@@ -228,3 +228,57 @@ def test_video_features_deterministic(rng):
     # single-frame video: zero motion
     single = video_features(frames[:1][:, :, :, None].repeat(3, axis=3))
     assert single[0] == 1.0 and single[3] == 0.0
+
+
+def test_gif_local_palette_and_transparency():
+    """Self-review r5 fixes: (a) a frame's indices expand through ITS OWN
+    palette even when a later frame carries a tiny local color table;
+    (b) GCE-transparent pixels preserve the canvas (delta-frame GIFs)."""
+    from pyspark_codesearch.operators.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+    import struct as _s
+
+    base = np.full((4, 4), 200, dtype=np.uint8)  # index 200 in global gray pal
+    payload = bytearray(encode_gif(base))
+    del payload[-1]  # trailer
+
+    # frame 2: full-frame, 4-entry LOCAL palette (min_code_size 2),
+    # GCE transparency on index 0 -> only index-1 pixels (red) overwrite
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    idx[0, :] = 1
+    payload += bytes([0x21, 0xF9, 0x04, 0x01]) + _s.pack("<H", 4) + bytes([0x00, 0x00])
+    payload += b"\x2C" + _s.pack("<HHHH", 0, 0, 4, 4) + bytes([0x80 | 0x01])  # local table, 4 entries
+    payload += bytes([0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0])  # pal: black, red, pad, pad
+    payload.append(2)  # LZW min code size for 4-entry palette
+    comp = _lzw_encode(idx.tobytes(), 2)
+    payload.append(len(comp)); payload += comp; payload.append(0)
+    payload.append(0x3B)
+
+    dec = decode_gif(bytes(payload))
+    assert dec.shape == (2, 4, 4, 3)
+    # frame 1: global grayscale palette -> gray 200 everywhere
+    assert (dec[0] == 200).all()
+    # frame 2: row 0 red from the LOCAL palette, rows 1-3 preserved gray
+    assert (dec[1, 0] == [255, 0, 0]).all()
+    assert (dec[1, 1:] == 200).all()
+
+
+def test_gif_index_outside_local_palette_rejected():
+    from pyspark_codesearch.operators.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+    )
+    import struct as _s
+
+    payload = bytearray(b"GIF89a") + _s.pack("<HHBBB", 2, 2, 0x00, 0, 0)  # no GCT
+    payload += b"\x2C" + _s.pack("<HHHH", 0, 0, 2, 2) + bytes([0x80])  # local, 2 entries
+    payload += bytes([0, 0, 0, 255, 255, 255])
+    payload.append(2)
+    comp = _lzw_encode(bytes([0, 1, 3, 0]), 2)  # index 3 > palette size 2
+    payload.append(len(comp)); payload += comp; payload.append(0)
+    payload.append(0x3B)
+    with pytest.raises(MediaDecodeError):
+        decode_gif(bytes(payload))
