@@ -1119,3 +1119,49 @@ register("simsearch_ann_nsw")(
         {"q0": _query_vec(spark, sf_dir)}, k=20, n_partitions=4,
     )
 )
+
+
+# REAL frame sampling over GIF videos (r5): 1 video -> N per-frame rows
+# with decoded luma stats; VALUES oracle decodes the same seeded
+# payloads pure-python (floor-half-up rounding both sides).
+def _frame_sample_oracle() -> str:
+    import numpy as _np
+
+    from .operators.media_codecs import decode_gif
+    from .operators.multimodal import synth_media_rows
+    from .rounding import round_half_up_py as _r4
+
+    vals = []
+    for i, kind, payload, *_ in synth_media_rows(64):
+        b = bytes(payload)
+        if kind != "video" or b[:6] not in (b"GIF87a", b"GIF89a"):
+            continue
+        frames = decode_gif(b)
+        n = int(frames.shape[0])
+        gray = frames.astype(_np.float64).mean(axis=3)
+        for f in range(0, n, 2):
+            vals.append(
+                f"({i}, {f}, {n}, CAST({_r4(float(gray[f].mean() / 255.0))} AS DOUBLE), "
+                f"CAST({_r4(float(gray[f].std() / 255.0))} AS DOUBLE))"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals)
+        + ") AS t(media_id, frame_no, n_frames, luma_mean, luma_std)"
+        + " ORDER BY media_id, frame_no"
+    )
+
+
+@register("multimodal_frame_sample", _frame_sample_oracle)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, synth_media
+    from .rounding import round_half_up as r4
+
+    return (
+        sample_frames(synth_media(spark, 64), every_n=2)
+        .select(
+            "media_id", "frame_no", "n_frames",
+            r4(F.col("luma_mean")).alias("luma_mean"),
+            r4(F.col("luma_std")).alias("luma_std"),
+        )
+        .orderBy("media_id", "frame_no")
+    )

@@ -225,3 +225,31 @@ def test_compact_delta_into_index(spark, tmp_path, sf_dir):
     scale = impact_scale(base_ix, float(st["avgdl"]))
     for q in ["merge sort", "compactterm 900007", "compactterm 905000", "scan join"]:
         assert topk(base_ix, q, scale) == topk(fresh_ix, q), q
+
+
+def test_sample_frames_real_decode(spark):
+    """sample_frames decodes GIF videos for real: per-frame rows with
+    luma stats matching a driver-side decode; MP4 blobs contribute none."""
+    import numpy as np
+
+    from pyspark_codesearch.operators.media_codecs import decode_gif
+    from pyspark_codesearch.operators.multimodal import sample_frames, synth_media_rows
+
+    media = synth_media(spark, 24)
+    rows = sample_frames(media, every_n=2).collect()
+    assert rows, "no frames sampled"
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    payloads = {i: bytes(p) for i, kind, p, *_ in synth_media_rows(24) if kind == "video"}
+    gif_ids = {i for i, b in payloads.items() if b[:6] in (b"GIF87a", b"GIF89a")}
+    assert set(by_media) == gif_ids  # every GIF sampled, no MP4 rows
+    for mid in gif_ids:
+        frames = decode_gif(payloads[mid])
+        n = frames.shape[0]
+        got = sorted(by_media[mid], key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in got] == list(range(0, n, 2))
+        assert all(r["n_frames"] == n for r in got)
+        gray = frames.astype(np.float64).mean(axis=3)
+        for r in got:
+            assert r["luma_mean"] == pytest.approx(gray[r["frame_no"]].mean() / 255.0, abs=0)
