@@ -771,18 +771,68 @@ def a5_a7_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d3_union_distinct",
-    """SELECT doc_id FROM (
-         SELECT doc_id FROM documents WHERE doc_id < 120
-         UNION SELECT doc_id FROM documents WHERE doc_id BETWEEN 100 AND 180
-       ) ORDER BY doc_id""",
-)
-def d3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    a = d.filter(F.col("doc_id") < 120).select("doc_id")
-    b = d.filter(F.col("doc_id").between(100, 180)).select("doc_id")
-    return a.union(b).distinct().orderBy("doc_id")
+# REAL frame sampling over GIF videos (promoted into the graded 50 in r6,
+# r5 verdict item 3 — displacing d3_union_distinct, whose union-distinct
+# shape is also exercised inside other graded entries): 1 video -> N
+# per-frame rows with decoded luma stats, plus ONE labeled status row per
+# undecodable container (decode_status, r6). The VALUES oracle decodes
+# the same seeded payloads pure-python (floor-half-up rounding both
+# sides); NULLS FIRST pins the cross-engine null placement.
+def _frame_sample_oracle() -> str:
+    import numpy as _np
+
+    from .operators.media_codecs import MediaDecodeError, decode_gif
+    from .operators.multimodal import synth_media_rows
+    from .rounding import round_half_up_py as _r4
+
+    vals = []
+    for i, kind, payload, *_ in synth_media_rows(64):
+        if kind != "video":
+            continue
+        b = bytes(payload)
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            vals.append(
+                f"({i}, CAST(NULL AS INTEGER), 0, CAST(NULL AS DOUBLE), "
+                f"CAST(NULL AS DOUBLE), 'decoder_unavailable')"
+            )
+            continue
+        try:
+            frames = decode_gif(b)
+        except MediaDecodeError:
+            vals.append(
+                f"({i}, CAST(NULL AS INTEGER), 0, CAST(NULL AS DOUBLE), "
+                f"CAST(NULL AS DOUBLE), 'decode_error')"
+            )
+            continue
+        n = int(frames.shape[0])
+        gray = frames.astype(_np.float64).mean(axis=3)
+        for f in range(0, n, 2):
+            vals.append(
+                f"({i}, {f}, {n}, CAST({_r4(float(gray[f].mean() / 255.0))} AS DOUBLE), "
+                f"CAST({_r4(float(gray[f].std() / 255.0))} AS DOUBLE), 'ok')"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals)
+        + ") AS t(media_id, frame_no, n_frames, luma_mean, luma_std, decode_status)"
+        + " ORDER BY media_id, frame_no NULLS FIRST"
+    )
+
+
+@register("multimodal_frame_sample", _frame_sample_oracle)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, synth_media
+    from .rounding import round_half_up as r4
+
+    return (
+        sample_frames(synth_media(spark, 64), every_n=2)
+        .select(
+            "media_id", "frame_no", "n_frames",
+            r4(F.col("luma_mean")).alias("luma_mean"),
+            r4(F.col("luma_std")).alias("luma_std"),
+            "decode_status",
+        )
+        .orderBy("media_id", F.asc_nulls_first("frame_no"))
+    )
 
 
 @register(
@@ -1121,47 +1171,18 @@ register("simsearch_ann_nsw")(
 )
 
 
-# REAL frame sampling over GIF videos (r5): 1 video -> N per-frame rows
-# with decoded luma stats; VALUES oracle decodes the same seeded
-# payloads pure-python (floor-half-up rounding both sides).
-def _frame_sample_oracle() -> str:
-    import numpy as _np
-
-    from .operators.media_codecs import decode_gif
-    from .operators.multimodal import synth_media_rows
-    from .rounding import round_half_up_py as _r4
-
-    vals = []
-    for i, kind, payload, *_ in synth_media_rows(64):
-        b = bytes(payload)
-        if kind != "video" or b[:6] not in (b"GIF87a", b"GIF89a"):
-            continue
-        frames = decode_gif(b)
-        n = int(frames.shape[0])
-        gray = frames.astype(_np.float64).mean(axis=3)
-        for f in range(0, n, 2):
-            vals.append(
-                f"({i}, {f}, {n}, CAST({_r4(float(gray[f].mean() / 255.0))} AS DOUBLE), "
-                f"CAST({_r4(float(gray[f].std() / 255.0))} AS DOUBLE))"
-            )
-    return (
-        "SELECT * FROM (VALUES " + ", ".join(vals)
-        + ") AS t(media_id, frame_no, n_frames, luma_mean, luma_std)"
-        + " ORDER BY media_id, frame_no"
-    )
-
-
-@register("multimodal_frame_sample", _frame_sample_oracle)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import sample_frames, synth_media
-    from .rounding import round_half_up as r4
-
-    return (
-        sample_frames(synth_media(spark, 64), every_n=2)
-        .select(
-            "media_id", "frame_no", "n_frames",
-            r4(F.col("luma_mean")).alias("luma_mean"),
-            r4(F.col("luma_std")).alias("luma_std"),
-        )
-        .orderBy("media_id", "frame_no")
-    )
+# union-distinct shape (demoted r6: the shape is also exercised inside
+# other graded entries; slot given to multimodal_frame_sample, which
+# proves real 1->N video decode under the driver)
+@register(
+    "d3_union_distinct",
+    """SELECT doc_id FROM (
+         SELECT doc_id FROM documents WHERE doc_id < 120
+         UNION SELECT doc_id FROM documents WHERE doc_id BETWEEN 100 AND 180
+       ) ORDER BY doc_id""",
+)
+def d3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") < 120).select("doc_id")
+    b = d.filter(F.col("doc_id").between(100, 180)).select("doc_id")
+    return a.union(b).distinct().orderBy("doc_id")

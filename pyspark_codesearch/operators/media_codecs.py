@@ -138,7 +138,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 # ------------------------------------------------------------------- PNG
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+# color type -> samples/pixel (3 = palette indices, expanded via PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(img: np.ndarray) -> bytes:
@@ -168,12 +169,43 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """uint8 index array (H, W) + palette (n, 3) -> paletted PNG (color
+    type 3, filter 0). Fixture-side encoder for the PLTE decode path."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3 or not len(pal):
+        raise MediaDecodeError(
+            f"unsupported palette image shapes {idx.shape} / {pal.shape}"
+        )
+    h, w = idx.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 @_normalize_errors
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG (8-bit, non-interlaced, no palette) -> uint8 (H, W, C)."""
+    """PNG (8-bit, non-interlaced; gray/RGB/RGBA/paletted) -> uint8
+    (H, W, C). Color type 3 (PLTE indices) expands to RGB."""
     if payload[:8] != _PNG_SIG:
         raise MediaDecodeError("not a PNG payload")
     i, width = 8, None
+    color = 0
+    plte = None
     idat = bytearray()
     while i + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[i : i + 4])
@@ -188,6 +220,10 @@ def decode_png(payload: bytes) -> np.ndarray:
                     f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
                 )
             c = _PNG_CHANNELS[color]
+        elif tag == b"PLTE":
+            if length % 3 or not length:
+                raise MediaDecodeError("malformed PLTE chunk")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -195,6 +231,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         i += 12 + length
     if width is None or not idat:
         raise MediaDecodeError("missing IHDR/IDAT")
+    if color == 3 and plte is None:
+        raise MediaDecodeError("paletted PNG without a PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = width * c
     if len(raw) < height * (stride + 1):
@@ -237,7 +275,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise MediaDecodeError(f"unknown PNG filter {ftype}")
         out[y] = cur
         prev = out[y]
-    return out.reshape(height, width, c)
+    img = out.reshape(height, width, c)
+    if color == 3:
+        if int(img.max()) >= len(plte):
+            raise MediaDecodeError("PNG palette index outside PLTE")
+        img = plte[img[:, :, 0]]
+    return img
 
 
 # ------------------------------------------------------------------- GIF
@@ -247,9 +290,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 # real multi-frame payloads that are decoded ON EXECUTORS; only formats
 # genuinely impossible without codecs (MP4/H.264) remain
 # `decoder_unavailable`. Deviations (documented): interlaced images are
-# rejected; disposal methods are ignored (frames composite
-# "do-not-dispose" style, which matches the encoder below and the
-# overwhelmingly common full-frame case).
+# rejected; disposal methods 0/1 (do-not-dispose) and 2 (restore to
+# background color) are honored; 3 (restore-to-previous, rare) is
+# treated as do-not-dispose.
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
@@ -302,8 +345,16 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
-    """Inverse of :func:`_lzw_encode` (standard GIF decoder loop)."""
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int | None = None) -> bytes:
+    """Inverse of :func:`_lzw_encode` (standard GIF decoder loop).
+
+    ``max_out`` bounds the decoded size: decoding aborts with
+    MediaDecodeError once output exceeds the caller's expected pixel
+    count by more than one maximal table entry (4096 bytes of slack — a
+    legitimate final entry may cross the boundary; a crafted LZW bomb
+    cannot stay within it). The dictionary also stops growing at the
+    GIF-mandated 4096 codes: 12-bit codes cannot address entries past
+    that, so further appends only burn memory."""
     clear = 1 << min_code_size
     eoi = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -339,27 +390,34 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         else:
             raise MediaDecodeError(f"LZW code {code} out of range")
         out += entry
-        if prev is not None:
+        if max_out is not None and len(out) > max_out + 4096:
+            raise MediaDecodeError(
+                f"LZW output exceeds expected size ({len(out)} > {max_out})"
+            )
+        if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
         prev = entry
         if len(table) == (1 << code_size) and code_size < 12:
             code_size += 1
 
 
-def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+def encode_gif(frames: np.ndarray, delay_cs: int = 4, disposal: int = 0) -> bytes:
     """uint8 (n_frames, H, W) grayscale -> animated GIF89a bytes
-    (256-entry grayscale global palette, full-frame images)."""
+    (256-entry grayscale global palette, full-frame images).
+    ``disposal`` is written into every frame's GCE (0/1 do-not-dispose,
+    2 restore-to-background — fixture hook for the decoder's handling)."""
     a = np.asarray(frames, dtype=np.uint8)
     if a.ndim == 2:
         a = a[None]
     if a.ndim != 3 or a.shape[0] < 1:
         raise MediaDecodeError(f"unsupported frame stack shape {a.shape}")
     n, h, w = a.shape
+    gce_packed = (int(disposal) & 0x07) << 2
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 8-bit
     out += bytes(v for i in range(256) for v in (i, i, i))  # gray palette
     for f in range(n):
-        out += bytes([0x21, 0xF9, 0x04, 0x00]) + struct.pack("<H", delay_cs) + bytes([0x00, 0x00])
+        out += bytes([0x21, 0xF9, 0x04, gce_packed]) + struct.pack("<H", delay_cs) + bytes([0x00, 0x00])
         out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
         out.append(8)  # LZW min code size
         comp = _lzw_encode(a[f].tobytes(), 8)
@@ -380,8 +438,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
     (global or local) and composited onto an RGB canvas, so per-frame
     local palettes and delta frames decode correctly; GCE-transparent
     pixels preserve the underlying canvas (the delta-frame encoding
-    every optimized animated GIF uses). Partial frames composite
-    do-not-dispose style; interlaced images are rejected."""
+    every optimized animated GIF uses). Disposal 0/1 composite
+    do-not-dispose style, disposal 2 restores the frame rect to the
+    background color before the next image (3 = treated as 0);
+    interlaced images are rejected."""
     if payload[:6] not in _GIF_SIGS:
         raise MediaDecodeError("not a GIF payload")
     W, H, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
@@ -405,8 +465,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
             j += n
 
     frames: list[np.ndarray] = []
+    # background color: restore-to-background (disposal 2) fills with the
+    # global palette's bg entry when one exists, else black — our canvas
+    # is RGB (no alpha), so the spec's bg color IS the restored pixel
+    bg_rgb = (
+        gct[_bg] if gct is not None and _bg < len(gct) else np.zeros(3, dtype=np.uint8)
+    )
     canvas = np.zeros((H, W, 3), dtype=np.uint8)  # composited RGB
     transp_idx = None  # from the GCE preceding the next image, if any
+    disposal = 0
     while i < len(payload):
         block = payload[i]
         if block == 0x3B:  # trailer
@@ -416,8 +483,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             i += 2
             body, i = sub_blocks(i)
             if label == 0xF9 and len(body) >= 4:
-                # Graphic Control Extension: packed bit 0 = transparency
+                # Graphic Control Extension: packed bit 0 = transparency,
+                # bits 2-4 = disposal method for the image that follows
                 transp_idx = body[3] if body[0] & 0x01 else None
+                disposal = (body[0] >> 2) & 0x07
             continue
         if block != 0x2C:
             raise MediaDecodeError(f"unexpected GIF block 0x{block:02x}")
@@ -435,22 +504,33 @@ def decode_gif(payload: bytes) -> np.ndarray:
         min_code = payload[i]
         i += 1
         comp, i = sub_blocks(i)
-        idx = np.frombuffer(_lzw_decode(comp, min_code), dtype=np.uint8)
+        idx = np.frombuffer(_lzw_decode(comp, min_code, max_out=w * h), dtype=np.uint8)
         if idx.size < w * h:
             raise MediaDecodeError("truncated GIF frame data")
         if left + w > W or top + h > H:
             raise MediaDecodeError("GIF frame exceeds logical screen")
         idx = idx[: w * h].reshape(h, w)
-        if int(idx.max()) >= len(pal):
-            raise MediaDecodeError("GIF index outside palette")
         rect = canvas[top : top + h, left : left + w]
         if transp_idx is not None:
+            # transparent pixels never consult the palette (optimizers
+            # emit transparent indices past the color table) — bounds-
+            # check only the OPAQUE indices
             opaque = idx != transp_idx
+            if opaque.any() and int(idx[opaque].max()) >= len(pal):
+                raise MediaDecodeError("GIF index outside palette")
             rect[opaque] = pal[idx[opaque]]
         else:
+            if int(idx.max()) >= len(pal):
+                raise MediaDecodeError("GIF index outside palette")
             rect[:] = pal[idx]
-        transp_idx = None  # a GCE governs only the image that follows it
         frames.append(canvas.copy())
+        if disposal == 2:
+            # restore-to-background: the frame's rect resets before the
+            # NEXT image composites (disposal 3 restore-to-previous is
+            # rare and remains unimplemented — treated as do-not-dispose)
+            canvas[top : top + h, left : left + w] = bg_rgb
+        transp_idx = None  # a GCE governs only the image that follows it
+        disposal = 0
     if not frames:
         raise MediaDecodeError("GIF with no image data")
     return np.stack(frames)

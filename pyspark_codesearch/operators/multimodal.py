@@ -253,7 +253,8 @@ def extract_features(
 
 
 FRAME_SCHEMA = (
-    "media_id long, frame_no int, n_frames int, luma_mean double, luma_std double"
+    "media_id long, frame_no int, n_frames int, luma_mean double, "
+    "luma_std double, decode_status string"
 )
 
 
@@ -262,23 +263,38 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     emit one row per SAMPLED frame (every ``every_n``-th, frame 0 always)
     with per-frame luma stats — the 1->N explode shape of a
     frame-extraction pipeline, with actual decoded pixels behind it.
-    Undecodable/corrupt videos contribute no rows (the poison-tolerant
-    analogue of extract_features' decode_error label; callers needing
-    the error surface join back against extract_features).
+
+    Every video row is accounted for (r5 verdict item 6): decoded frames
+    carry ``decode_status='ok'``; an undecodable container emits ONE
+    status row (frame_no/luma NULL, n_frames 0) labeled
+    'decoder_unavailable' (non-GIF, e.g. MP4) or 'decode_error'
+    (corrupt GIF) — the same labels extract_features uses — so frame
+    pipelines see decode failures without a join convention.
 
     Map-side mapInPandas — no shuffle; at 100 TB the frame rows stream
     out partition-local exactly like the feature path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mid, fno, nfr, lm, ls = [], [], [], [], []
+            mid, fno, nfr, lm, ls, st = [], [], [], [], [], []
+
+            def status_row(media_id, label):
+                mid.append(int(media_id))
+                fno.append(None)
+                nfr.append(0)
+                lm.append(None)
+                ls.append(None)
+                st.append(label)
+
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 if b[:6] not in _GIF_SIGS:
+                    status_row(media_id, "decoder_unavailable")
                     continue
                 try:
                     frames = decode_gif(b)
                 except MediaDecodeError:
+                    status_row(media_id, "decode_error")
                     continue
                 n = int(frames.shape[0])
                 gray = frames.astype(np.float64).mean(axis=3)
@@ -288,9 +304,10 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                     nfr.append(n)
                     lm.append(float(gray[f].mean() / 255.0))
                     ls.append(float(gray[f].std() / 255.0))
+                    st.append("ok")
             yield pd.DataFrame(
                 {"media_id": mid, "frame_no": fno, "n_frames": nfr,
-                 "luma_mean": lm, "luma_std": ls}
+                 "luma_mean": lm, "luma_std": ls, "decode_status": st}
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)

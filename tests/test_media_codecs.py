@@ -282,3 +282,132 @@ def test_gif_index_outside_local_palette_rejected():
     payload.append(0x3B)
     with pytest.raises(MediaDecodeError):
         decode_gif(bytes(payload))
+
+
+# ------------------------------------------------- round-6 hardening
+def test_lzw_bomb_bounded():
+    """A crafted LZW stream expanding far past the declared pixel count
+    aborts with MediaDecodeError instead of exhausting memory (ADVICE r5:
+    classic LZW bomb — decode used to run to completion before the w*h
+    truncation)."""
+    from pyspark_codesearch.operators.media_codecs import _lzw_decode, _lzw_encode
+
+    big = bytes(200_000)  # expands to 200k bytes from a few hundred
+    comp = _lzw_encode(big, 8)
+    assert _lzw_decode(comp, 8, max_out=200_000) == big  # legit size passes
+    with pytest.raises(MediaDecodeError):
+        _lzw_decode(comp, 8, max_out=1_000)  # declared 1k pixels -> bomb
+
+
+def test_gif_lzw_oversize_frame_rejected():
+    """decode_gif passes w*h into the LZW bound: a 2x2 frame whose stream
+    expands to 100k pixels is rejected at the codec layer."""
+    import struct as _s
+
+    from pyspark_codesearch.operators.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    payload = bytearray(b"GIF89a") + _s.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+    payload += bytes(v for i in range(256) for v in (i, i, i))
+    payload += b"\x2C" + _s.pack("<HHHH", 0, 0, 2, 2) + b"\x00" + bytes([8])
+    comp = _lzw_encode(bytes(100_000), 8)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        payload.append(len(chunk)); payload += chunk
+    payload.append(0); payload.append(0x3B)
+    with pytest.raises(MediaDecodeError):
+        decode_gif(bytes(payload))
+
+
+def test_gif_transparent_index_outside_palette_ok():
+    """ADVICE r5: optimizers emit GCE transparent indices past the color
+    table (transparent pixels never consult the palette) — opaque-only
+    bounds check accepts them; an OPAQUE out-of-range index still fails."""
+    import struct as _s
+
+    from pyspark_codesearch.operators.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    def frame2(idx_bytes, transp):
+        payload = bytearray(b"GIF89a") + _s.pack("<HHBBB", 2, 2, 0x00, 0, 0)
+        payload += bytes([0x21, 0xF9, 0x04, 0x01, 0, 0, transp, 0x00])
+        payload += b"\x2C" + _s.pack("<HHHH", 0, 0, 2, 2) + bytes([0x80])  # local, 2 entries
+        payload += bytes([10, 20, 30, 200, 100, 50])
+        payload.append(2)
+        comp = _lzw_encode(idx_bytes, 2)
+        payload.append(len(comp)); payload += comp; payload.append(0)
+        payload.append(0x3B)
+        return bytes(payload)
+
+    # transparent index 3 lies OUTSIDE the 2-entry palette: decodes fine,
+    # transparent pixels keep the (zero) canvas
+    dec = decode_gif(frame2(bytes([0, 1, 3, 1]), transp=3))
+    assert dec.shape == (1, 2, 2, 3)
+    assert (dec[0, 0, 0] == [10, 20, 30]).all()
+    assert (dec[0, 1, 0] == [0, 0, 0]).all()  # transparent -> canvas
+    # an opaque out-of-range index is still a decode error
+    with pytest.raises(MediaDecodeError):
+        decode_gif(frame2(bytes([0, 1, 3, 1]), transp=2))
+
+
+def test_png_palette_roundtrip(rng):
+    """Color type 3 (PLTE) decodes: indices expand to palette RGB."""
+    from pyspark_codesearch.operators.media_codecs import (
+        decode_image,
+        encode_png_palette,
+    )
+
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    dec = decode_png(encode_png_palette(idx, pal))
+    assert dec.shape == (9, 13, 3)
+    assert np.array_equal(dec, pal[idx])
+    assert decode_image(encode_png_palette(idx, pal)).shape == (9, 13, 3)
+    # index past the palette is a decode error
+    with pytest.raises(MediaDecodeError):
+        decode_png(encode_png_palette(np.full((2, 2), 16, dtype=np.uint8), pal))
+
+
+def test_gif_disposal_restore_to_background():
+    """Disposal method 2: the frame rect restores to the background
+    color before the next image composites (previously ignored)."""
+    import struct as _s
+
+    from pyspark_codesearch.operators.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    base = np.full((6, 6), 200, dtype=np.uint8)
+    # disposal=2 on every frame; bg index 0 -> gray 0 (grayscale GCT)
+    payload = bytearray(encode_gif(base, disposal=2))
+    del payload[-1]
+    # second image: partial 2x2 patch at (1,1), do-not-dispose GCE
+    patch = np.full((2, 2), 90, dtype=np.uint8)
+    payload += bytes([0x21, 0xF9, 0x04, 0x00, 0, 0, 0x00, 0x00])
+    payload += b"\x2C" + _s.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + bytes([8])
+    comp = _lzw_encode(patch.tobytes(), 8)
+    payload.append(len(comp)); payload += comp; payload.append(0)
+    payload.append(0x3B)
+
+    dec = decode_gif(bytes(payload))
+    assert dec.shape == (2, 6, 6, 3)
+    assert (dec[0] == 200).all()  # frame 1 rendered before disposal
+    # frame 2: canvas was restored to bg (0), only the patch is 90
+    expect = np.zeros((6, 6), dtype=np.uint8)
+    expect[1:3, 1:3] = 90
+    assert np.array_equal(dec[1, :, :, 0], expect)
+    # without disposal, frame 2 would composite onto gray 200
+    payload_nd = bytearray(encode_gif(base, disposal=0))
+    del payload_nd[-1]
+    payload_nd += bytes([0x21, 0xF9, 0x04, 0x00, 0, 0, 0x00, 0x00])
+    payload_nd += b"\x2C" + _s.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + bytes([8])
+    payload_nd.append(len(comp)); payload_nd += comp; payload_nd.append(0)
+    payload_nd.append(0x3B)
+    dec_nd = decode_gif(bytes(payload_nd))
+    assert (dec_nd[1, 0, :, 0] == 200).all()

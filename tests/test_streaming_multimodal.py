@@ -229,7 +229,8 @@ def test_compact_delta_into_index(spark, tmp_path, sf_dir):
 
 def test_sample_frames_real_decode(spark):
     """sample_frames decodes GIF videos for real: per-frame rows with
-    luma stats matching a driver-side decode; MP4 blobs contribute none."""
+    luma stats matching a driver-side decode; undecodable containers
+    each get ONE labeled status row (r6: decode_status column)."""
     import numpy as np
 
     from pyspark_codesearch.operators.media_codecs import decode_gif
@@ -243,13 +244,44 @@ def test_sample_frames_real_decode(spark):
         by_media.setdefault(r["media_id"], []).append(r)
     payloads = {i: bytes(p) for i, kind, p, *_ in synth_media_rows(24) if kind == "video"}
     gif_ids = {i for i, b in payloads.items() if b[:6] in (b"GIF87a", b"GIF89a")}
-    assert set(by_media) == gif_ids  # every GIF sampled, no MP4 rows
+    assert set(by_media) == set(payloads)  # EVERY video row accounted for
     for mid in gif_ids:
         frames = decode_gif(payloads[mid])
         n = frames.shape[0]
         got = sorted(by_media[mid], key=lambda r: r["frame_no"])
         assert [r["frame_no"] for r in got] == list(range(0, n, 2))
-        assert all(r["n_frames"] == n for r in got)
+        assert all(r["n_frames"] == n and r["decode_status"] == "ok" for r in got)
         gray = frames.astype(np.float64).mean(axis=3)
         for r in got:
             assert r["luma_mean"] == pytest.approx(gray[r["frame_no"]].mean() / 255.0, abs=0)
+    for mid in set(payloads) - gif_ids:  # MP4 blobs: one status row each
+        (r,) = by_media[mid]
+        assert r["decode_status"] == "decoder_unavailable"
+        assert r["frame_no"] is None and r["n_frames"] == 0
+        assert r["luma_mean"] is None and r["luma_std"] is None
+
+
+def test_sample_frames_corrupt_gif_status_row(spark):
+    """A payload that sniffs as GIF but fails to decode emits exactly one
+    decode_error status row (poison tolerance with a visible label)."""
+    from pyspark_codesearch.operators.media_codecs import encode_gif
+    from pyspark_codesearch.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    import numpy as np
+
+    good = encode_gif(np.full((2, 6, 6), 80, dtype=np.uint8))
+    corrupt = good[: len(good) // 2]  # truncated mid-frame
+    media = spark.createDataFrame(
+        [
+            (0, "video", bytearray(good), "image/gif", 6, 6, len(good)),
+            (1, "video", bytearray(corrupt), "image/gif", 6, 6, len(corrupt)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(media, every_n=1).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media[0]) == 2 and all(r["decode_status"] == "ok" for r in by_media[0])
+    (bad,) = by_media[1]
+    assert bad["decode_status"] == "decode_error" and bad["frame_no"] is None
