@@ -15,6 +15,10 @@ Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
   wand_batch_oneplan  all 8 queries in ONE cogroup pass (the offline-
                       retrieval scale shape)
   bm25_batch_oneplan  exact scorer, one plan for the batch
+  route_demo_*        dispatch route demonstration on a x128 + needle
+                      corpus: the same search_topk_auto call routes the
+                      light selective query exact and the heavy one to
+                      two-phase WAND (measured thresholds, engine.py)
   dedup_minhash       MinHash+LSH candidate pairs over documents
   simsearch           brute-force cosine top-20 over embeddings
   relational          pricing summary + revenue-by-nation star join
@@ -269,6 +273,96 @@ def main():
 
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
+    # ---- dispatch route demo (r6): a corpus big enough that the measured
+    # WAND thresholds are reachable, so the official artifact exercises
+    # BOTH routes of the single-query dispatch (r5 verdict item 2 — at
+    # x16 every query routes exact). x128 replication + a rare needle
+    # term (corpus.replicated_documents needle_every=5000, the canonical
+    # rare-identifier-plus-context code-search shape): the heavy
+    # selective query's prunable volume (~8M) crosses
+    # SEARCH_EXACT_MAX_POSTINGS (6M) -> two-phase WAND; the light one
+    # stays under -> exact. Same dispatch, same corpus. Timings live
+    # under route_demo_* keys; total_excl_route_demo preserves
+    # comparability with pre-r6 artifacts.
+    from pyspark_codesearch.engine import search_topk_auto as _auto
+    from pyspark_codesearch.wand import TermDictionary as _TD
+
+    for c in (postings, segments, doc_lens, lens_by_salt, term_stats, docs):
+        c.unpersist()
+    big_replicate = int(os.environ.get("BENCH_BIG_REPLICATE", "128"))
+    from pyspark_codesearch.indexing import (
+        build_postings_with_dl as _bp,
+        build_segments as _bs,
+        build_term_stats as _bt,
+        corpus_stats as _cs,
+    )
+    from pyspark_codesearch.wand import prepare_lens_by_salt as _pl
+
+    big_state: dict = {}
+
+    def big_build():
+        big_docs = replicated_documents(
+            spark, sf_dir, big_replicate, int(cpus) * 2, needle_every=5000
+        ).cache()
+        n = big_docs.count()
+        sr = max(1024, n // (int(cpus) * 2))
+        stats_b = _cs(big_docs)
+        lens_b = big_docs.select("doc_id", "doc_len").cache()
+        post_b = _bp(big_docs).cache()
+        post_b.count()
+        seg_b = _bs(post_b, stats_b, salt_range=sr).cache()
+        seg_b.count()
+        ts_b = _bt(post_b).cache()
+        ts_b.count()
+        big_state.update(docs=big_docs, n=n, sr=sr, stats=stats_b,
+                         lens=lens_b, postings=post_b, segments=seg_b, ts=ts_b)
+
+    timed("route_demo_build", big_build, n_runs=1)
+    lens_by_salt_b = _pl(big_state["lens"], big_state["sr"])
+    lens_by_salt_b.count()
+    td_b = _TD(big_state["ts"], big_state["segments"])
+    commons = [
+        r["term"]
+        for r in big_state["ts"].filter(F.col("term").rlike("^[a-z]+$"))
+        .orderBy(F.desc("df"), "term").limit(16).collect()
+    ]
+    demo_queries = {
+        "needle_light": "uniqneedle " + " ".join(commons[:2]),   # -> exact
+        "needle_heavy": "uniqneedle " + " ".join(commons),       # -> wand
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    route_demo: dict = {}
+
+    def demo_all():
+        for name, q in demo_queries.items():
+            dfs, salts, imps = td_b.lookup3(tokenize_py(q))
+            route: dict = {}
+            t0 = time.perf_counter()
+            _auto(
+                big_state["postings"], big_state["segments"], big_state["lens"],
+                big_state["ts"], big_state["stats"], q, 10,
+                salt_range=big_state["sr"], lens_by_salt=lens_by_salt_b,
+                df_lookup=dfs, salt_lookup=salts, imp_lookup=imps,
+                route_out=route,
+            ).collect()
+            el = time.perf_counter() - t0
+            prev = route_demo.get(name, {}).get("sec")
+            route_demo[name] = {
+                "sec": round(el if prev is None else min(prev, el), 3),
+                "route": route["route"],
+                "plan": route.get("wand_plan"),
+                "matched_postings": route["matched_postings"],
+                "prunable_postings": route["prunable_postings"],
+                "phase2": route.get("phase2"),
+            }
+            single_routes[f"demo:{name}"] = route["route"]
+
+    timed("route_demo_queries", demo_all, n_runs=query_runs)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    for c in (big_state["postings"], big_state["segments"], big_state["lens"],
+              lens_by_salt_b, big_state["ts"], big_state["docs"]):
+        c.unpersist()
+
     from pyspark_codesearch.operators.dedup import lsh_candidate_pairs
     from pyspark_codesearch.operators.relational import pricing_summary, revenue_by_nation
     from pyspark_codesearch.operators.simsearch import cosine_topk
@@ -291,6 +385,9 @@ def main():
     bw_vals = [c[1] for c in controls]
 
     total = round(sum(timings.values()), 3)
+    total_excl_demo = round(
+        sum(v for k, v in timings.items() if not k.startswith("route_demo")), 3
+    )
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
     print(
         json.dumps(
@@ -324,6 +421,10 @@ def main():
                     r: sum(1 for v in single_routes.values() if v == r)
                     for r in sorted(set(single_routes.values()))
                 },
+                # pre-r6 artifacts have no route_demo section; compare
+                # their totals against this field
+                "total_excl_route_demo_sec": total_excl_demo,
+                "route_demo": route_demo,
                 "bm25_sec_per_query": round(timings["bm25_batch"] / len(BENCH_QUERIES), 4),
                 "wand_sec_per_query": round(timings["wand_batch"] / len(BENCH_QUERIES), 4),
                 "batch_sec_per_query": round(

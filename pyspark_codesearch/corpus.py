@@ -175,7 +175,9 @@ def ingest_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def replicated_documents(
-    spark: SparkSession, sf_dir: str, factor: int, n_partitions: int
+    spark: SparkSession, sf_dir: str, factor: int, n_partitions: int,
+    perturb: bool = False,
+    needle_every: int | None = None,
 ) -> DataFrame:
     """Bench corpus: documents x factor with distinct doc_ids,
     REPARTITIONED BEFORE the ingest transforms.
@@ -184,7 +186,26 @@ def replicated_documents(
     and Catalyst keeps projections next to the scan — deriving
     tokens/sha256 before a repartition serializes the whole tokenize on
     one core (measured: flat 8->32-core scaling until this split).
-    """
+
+    ``perturb`` varies each replica's term frequencies: vanilla
+    replication makes every replica of a doc score IDENTICALLY, which
+    structurally defeats block-max pruning (no block's upper bound can
+    fall below a top-k threshold made of the same tied scores) — fine
+    for throughput scaling runs (same work at both levels), degenerate
+    for measuring pruned-vs-exact query plans. The perturbation appends
+    the doc's own first whitespace token extra times, keyed on
+    xxhash64(doc_id): a mild body (0-3 extras) that breaks the ties,
+    plus RARE extreme outliers (15 extras on ~0.4% of docs). Rarity is
+    the point — real zipfian corpora prune because the top-k threshold
+    is set by scarce high-tf outliers while most blocks' upper bounds
+    stay in the low-tf body; frequent outliers would put one in every
+    block and defeat block-max exactly like the ties do.
+
+    ``needle_every=P`` appends the token ``uniqneedle`` to every P-th
+    replica (keyed on xxhash64(doc_id)): a rare identifier term with
+    df ~= n_docs/P — the base sf tables have no rare tokens at all, and
+    selective-query experiments (rare identifier + common context, the
+    canonical code-search shape) need one."""
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = raw.count()
     rep = spark.range(factor).withColumnRenamed("id", "rep")
@@ -194,4 +215,29 @@ def replicated_documents(
         .drop("rep")
         .repartition(n_partitions)
     )
+    if perturb:
+        first_tok = F.split(F.col("text"), " ").getItem(0)
+        h = F.xxhash64("doc_id")
+        extra = (
+            F.when(F.pmod(h, F.lit(256)) == 0, F.lit(15))
+            .otherwise(F.pmod(h, F.lit(4)))
+            .cast("int")
+        )
+        replicated = replicated.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.array_join(
+                    F.array_repeat(F.concat(F.lit(" "), first_tok), extra), ""
+                ),
+            ),
+        )
+    if needle_every:
+        replicated = replicated.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64(F.col("doc_id") + 1), F.lit(needle_every)) == 0,
+                F.concat(F.col("text"), F.lit(" uniqneedle")),
+            ).otherwise(F.col("text")),
+        )
     return ingest_documents_df(replicated)

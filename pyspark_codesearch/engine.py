@@ -15,21 +15,43 @@ from .indexing import B, K1, CorpusStats, build_term_stats, corpus_stats
 from .scoring import bm25_topk
 
 # -------------------------------------------------- single-query cost dispatch
-# Matched posting volume (sum of df over the query's terms, from the
-# resident TermDictionary — zero extra jobs) below which the literal-CASE
-# exact scorer is the faster single-query plan. The exact path is ONE
-# JVM-only job (IN-filtered postings scan + codegen CASE + top-k heap);
-# the WAND cogroup pays a fixed python-scorer dispatch + Arrow round trip
-# per query (~0.3-0.5 s on this box) that only block-max pruning over a
-# LARGE matched volume can buy back. Measured at sf0.1 (80k docs, warm
-# caches, local[32]): exact 0.34-0.43 s/q at sum(df) up to ~2e5 vs WAND
-# 0.48-0.86 s/q — the crossover is far above any volume reachable at
-# local scale, so the default routes on an absolute posting budget sized
-# where decode+score work (~1e6 postings, ~10 ms/1e5 in the JVM) starts
-# to rival the dispatch cost WAND would amortize. Both paths are
-# rank-identical (tests/test_bm25_rank_identity.py), so routing is purely
-# a latency decision.
-SEARCH_EXACT_MAX_POSTINGS = 1_000_000
+# Constants are MEASURED (scripts/crossover.py, replicated+needle sf0.1
+# corpora at 1.28M and 3.84M docs, local[32], warm caches, best-of-N
+# with exact/WAND/selective runs interleaved per point — r6; previously
+# these were extrapolated from decode-rate arithmetic and every bench
+# query routed exact, so the WAND side had never been timed):
+#
+# COMMON shape (no dominant term — MaxScore cannot freeze, WAND
+# degenerates to a python full decode): the JVM exact plan won at EVERY
+# measured volume up to 8M matched postings in BOTH windows (1.28M docs:
+# exact 0.29-1.5 s vs WAND 0.86-1.6 s across 64k-8M) and LOST at 27.7M
+# in both (exact 8.4-9.8 s vs WAND 3.1-4.6 s); the 16M point flipped
+# with the window (exact 2.1 vs 2.4 in one, 5.4 vs 4.0 in the other —
+# this VM's documented cross-minute variance). Constant set at the
+# middle of the [8M, 28M] uncertainty band.
+#
+# SELECTIVE shape (one dominant high-idf term — rare identifier plus
+# common context, the canonical code-search query): exact won through
+# 4M matched postings (0.38-0.63 s), WAND variants won from 8M on
+# (0.90-1.44 s vs exact 1.44-8.0 s, flat in volume). The routed plan is
+# the two-phase global-θ wand_topk_selective: locally it measured
+# 0.1-0.5 s behind single-phase WAND (its θ hand-off pays a second job
+# round-trip, and the in-memory segment cache scans fully either way),
+# but at scale it is the only plan whose I/O is bounded by df(head) —
+# phase 2 was PROVED AWAY at every measured selective point, and on
+# disk-backed salt-partitioned segments that is the difference between
+# reading one term's salts and reading the whole matched index.
+#
+# Prunable volume = matched volume minus the head term's df, counted
+# only when the head's max contribution bound (qtf·idf·max_impact from
+# the TermDictionary) dominates the rest's sum — the driver-side
+# predictor that phase 2 will be proved away or freeze immediately.
+# Non-dominated queries have zero prunable volume — no pruning mechanism
+# exists for them, which is WHY the common-shape threshold is so much
+# higher. Both paths are rank-identical (tests), so routing is purely a
+# latency decision.
+SEARCH_EXACT_MAX_POSTINGS = 6_000_000  # selective band: exact ≤4M, WAND ≥8M
+SEARCH_COMMON_WAND_MIN_POSTINGS = 16_000_000  # common band: exact ≤8M, WAND ≥28M
 
 
 def search_topk_auto(
@@ -45,41 +67,90 @@ def search_topk_auto(
     lens_by_salt: DataFrame | None = None,
     df_lookup: dict[str, int] | None = None,
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
+    imp_lookup: dict[str, float] | None = None,
     max_exact_postings: int = SEARCH_EXACT_MAX_POSTINGS,
+    common_wand_min_postings: int = SEARCH_COMMON_WAND_MIN_POSTINGS,
     wand_salt_group_factor: int = 16,
     impact_scale: float = 1.0,
     route_out: dict | None = None,
 ) -> DataFrame:
-    """Single-query top-k with df-based cost dispatch: the literal exact
-    plan when the matched posting volume is small, block-max WAND when a
-    heavy term makes pruning worthwhile. ``route_out['route']`` (if a
-    dict is passed) records which path planned the query."""
-    if df_lookup is None:
-        from collections import Counter
+    """Single-query top-k with shape-aware cost dispatch (see the
+    constants' comment for the measurements behind it):
 
-        terms = list(Counter(tokenize_py(query)))
+    - PRUNABLE volume above ``max_exact_postings`` — a dominant-term
+      query whose common-term tail is big — routes to the two-phase
+      selective WAND plan (global-θ hand-off, phase 2 usually proved
+      away).
+    - otherwise TOTAL volume above ``common_wand_min_postings`` (the
+      measured full-decode crossover, no pruning possible) also routes
+      WAND.
+    - everything else takes the literal-CASE exact JVM plan.
+
+    ``max_exact_postings <= 0`` forces the WAND route (test/debug hook).
+    ``route_out`` (if a dict is passed) records the routing decision and
+    the selective plan's phase diagnostics."""
+    from collections import Counter
+
+    qtf = Counter(tokenize_py(query))
+    if df_lookup is None:
         df_lookup = {
             r["term"]: int(r["df"])
-            for r in term_stats.filter(F.col("term").isin(terms)).collect()
+            for r in term_stats.filter(F.col("term").isin(list(qtf))).collect()
         }
-    matched_volume = sum(df_lookup.values())
-    if matched_volume <= max_exact_postings:
-        if route_out is not None:
-            route_out["route"] = "exact"
-            route_out["matched_postings"] = matched_volume
+    matched = {t: c for t, c in qtf.items() if t in df_lookup}
+    matched_volume = sum(df_lookup[t] for t in matched)
+    # driver-side freeze predictor: head's max contribution bound vs the
+    # rest's sum (imp defaults to 1.0 = equal impacts when no dictionary
+    # is resident; idf ordering alone then decides dominance)
+    from .wand import _idf
+
+    imp = imp_lookup or {}
+    c_of = {
+        t: c * _idf(stats.n_docs, float(df_lookup[t])) * float(imp.get(t, 1.0))
+        for t, c in matched.items()
+    }
+    head = max(c_of, key=lambda t: (c_of[t], t)) if c_of else None
+    dominated = head is not None and c_of[head] >= sum(
+        v for t, v in c_of.items() if t != head
+    )
+    prunable = matched_volume - df_lookup[head] if dominated else 0
+    wand_plan = None
+    if max_exact_postings <= 0 or prunable > max_exact_postings:
+        wand_plan = "selective"  # pruning predicted to pay: two-phase θ plan
+    elif matched_volume > common_wand_min_postings:
+        wand_plan = "full"  # no pruning possible; full decode still wins here
+    if route_out is not None:
+        route_out.update(
+            matched_postings=matched_volume,
+            prunable_postings=prunable,
+            route="wand" if wand_plan else "exact",
+            wand_plan=wand_plan,
+        )
+    if wand_plan is None:
         return bm25_topk(
             postings, doc_lens, term_stats, stats, query, k, df_lookup=df_lookup
         )
-    from .wand import wand_topk
+    if wand_plan == "full":
+        from .wand import wand_topk
 
-    if route_out is not None:
-        route_out["route"] = "wand"
-        route_out["matched_postings"] = matched_volume
-    return wand_topk(
+        return wand_topk(
+            segments, doc_lens, term_stats, stats, query, k,
+            salt_range=salt_range, lens_by_salt=lens_by_salt,
+            df_lookup=df_lookup, salt_lookup=salt_lookup,
+            impact_scale=impact_scale, salt_group_factor=wand_salt_group_factor,
+        )
+    from .wand import collect_term_salts, wand_topk_selective
+
+    if salt_lookup is None:
+        salt_lookup = collect_term_salts(
+            segments.filter(F.col("term").isin(list(matched)))
+        )
+    return wand_topk_selective(
         segments, doc_lens, term_stats, stats, query, k,
         salt_range=salt_range, lens_by_salt=lens_by_salt,
-        df_lookup=df_lookup, salt_lookup=salt_lookup,
+        df_lookup=df_lookup, salt_lookup=salt_lookup, imp_lookup=imp_lookup,
         impact_scale=impact_scale, salt_group_factor=wand_salt_group_factor,
+        route_out=route_out,
     )
 
 
@@ -153,13 +224,13 @@ class DocumentsEngine:
         from .analysis import tokenize_py
 
         lens_by_salt, td = self._wand_residents()
-        dfs, salts = td.lookup(Counter(tokenize_py(query_text)).keys())
-        return lens_by_salt, dfs, salts
+        dfs, salts, imps = td.lookup3(Counter(tokenize_py(query_text)).keys())
+        return lens_by_salt, dfs, salts, imps
 
     def search_wand(self, query: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         from .wand import wand_topk
 
-        lens_by_salt, df_lookup, salt_lookup = self._query_lookups(query)
+        lens_by_salt, df_lookup, salt_lookup, _ = self._query_lookups(query)
         out = wand_topk(
             self.segments, self.doc_lens, self.term_stats, self.stats, query, k,
             salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,
@@ -176,12 +247,12 @@ class DocumentsEngine:
         """Cost-dispatched single-query search: min-latency of the two
         rank-identical paths (literal exact vs block-max WAND), routed on
         the matched posting volume from the resident TermDictionary."""
-        lens_by_salt, df_lookup, salt_lookup = self._query_lookups(query)
+        lens_by_salt, df_lookup, salt_lookup, imp_lookup = self._query_lookups(query)
         out = search_topk_auto(
             self.postings, self.segments, self.doc_lens, self.term_stats,
             self.stats, query, k,
             salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,
-            df_lookup=df_lookup, salt_lookup=salt_lookup,
+            df_lookup=df_lookup, salt_lookup=salt_lookup, imp_lookup=imp_lookup,
             max_exact_postings=(
                 SEARCH_EXACT_MAX_POSTINGS
                 if max_exact_postings is None
@@ -196,7 +267,7 @@ class DocumentsEngine:
     def search_wand_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         from .wand import wand_topk_batch
 
-        lens_by_salt, df_lookup, salt_lookup = self._query_lookups(" ".join(queries.values()))
+        lens_by_salt, df_lookup, salt_lookup, _ = self._query_lookups(" ".join(queries.values()))
         return wand_topk_batch(
             self.segments, self.doc_lens, self.term_stats, self.stats, queries, k,
             salt_range=self.SALT_RANGE, lens_by_salt=lens_by_salt,

@@ -93,12 +93,22 @@ def _score_salt(
     cache: dict | None = None,
     impact_scale: float = 1.0,
     term_groups: dict[str, pd.DataFrame] | None = None,
+    init_theta: float | None = None,
 ) -> pd.DataFrame:
     """MaxScore scoring of one salt. ``prep`` (base, norm_c), ``cache``
     (term -> (ids, query-independent contrib)) and ``term_groups`` (term
     -> pre-sorted block rows, split ONCE per task) are shared across the
     queries of a batch — hot terms decode and divide ONCE per group, and
-    no per-query isin/groupby re-scans the group frame."""
+    no per-query isin/groupby re-scans the group frame.
+
+    ``init_theta`` seeds the MaxScore threshold with a GLOBAL k-th-best
+    score already known to the caller (two-phase selective search,
+    :func:`wand_topk_selective`): per-salt scoring alone can never freeze
+    a salt that lacks the query's dominant term — its local θ comes only
+    from its own low-scoring docs — so the global seed is what lets
+    whole salts skip decode. Correctness: freezing drops only docs
+    provably below a score the GLOBAL top-k already reached; emitted
+    scores are untouched, the final cross-salt merge is unchanged."""
     if (term_groups is None and seg_pdf.empty) or lens_pdf.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     if prep is None:
@@ -152,6 +162,10 @@ def _score_salt(
         fresh partial decode, so prefer it."""
         if cache is not None and term in cache:
             return cache[term]
+        if hi_ids.size == 0:
+            # frozen-from-the-start salt (global init_theta): nothing can
+            # enter, decode nothing
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         # block-range skip: keep only blocks whose [first_doc, last_doc]
         # intersects the (sorted) candidate ids, then one fused decode
         first = g["first_doc"].to_numpy(np.int64)
@@ -168,17 +182,24 @@ def _score_salt(
     c_values = [c for _, _, c, _ in terms]
     lookup_mode = False
     for i, (term, w, c_t, g) in enumerate(terms):
-        if not lookup_mode and cand_ids.size >= k:
-            theta = float(
-                np.partition(cand_scores, cand_scores.size - k)[cand_scores.size - k]
-            )
+        if not lookup_mode:
+            theta = init_theta if init_theta is not None else None
+            if cand_ids.size >= k:
+                kth = float(
+                    np.partition(cand_scores, cand_scores.size - k)[
+                        cand_scores.size - k
+                    ]
+                )
+                theta = kth if theta is None else max(theta, kth)
             # MaxScore switch: docs NOT yet candidates can gain at most the
             # sum of ALL remaining max-contributions; below θ they can never
             # enter the top-k, so the candidate set freezes. Every remaining
             # term is still applied to candidates (scores stay EXACT — the
             # north rule demands rank-identical scores, so pruning may drop
             # only provably-losing docs, never contributions of winners).
-            if float(sum(c_values[i:])) < theta:
+            # With a global init_theta the freeze can fire at i=0 with an
+            # EMPTY candidate set: the whole salt is provably out.
+            if theta is not None and float(sum(c_values[i:])) < theta:
                 lookup_mode = True
         if lookup_mode:
             ids, contrib = lookup_arrays(g, term, cand_ids)
@@ -346,15 +367,21 @@ class TermDictionary:
         self._build(term_stats, segments)
         self._df: dict[str, int] = {}
         self._salts: dict[str, tuple[int, ...]] = {}
+        self._imp: dict[str, float] = {}
         self._miss: set[str] = set()
         self.fetched_terms: set[str] = set()
 
     def _build(self, term_stats: DataFrame, segments: DataFrame) -> None:
+        # max_impact = the term's best block impact anywhere in the index:
+        # the driver-side upper bound Σ qtf·idf·max_impact that lets
+        # wand_topk_selective PROVE phase 2 away (like Lucene's per-term
+        # max score metadata for WAND)
         self._side = (
-            segments.select("term", "salt")
-            .distinct()
-            .groupBy("term")
-            .agg(F.collect_set("salt").alias("salts"))
+            segments.groupBy("term")
+            .agg(
+                F.collect_set("salt").alias("salts"),
+                F.max("block_max_impact").alias("max_impact"),
+            )
             .join(term_stats, "term")
             .cache()
         )
@@ -388,9 +415,18 @@ class TermDictionary:
             self._side = self._side.cache()
         self._df.clear()
         self._salts.clear()
+        self._imp.clear()
         self._miss.clear()
 
     def lookup(self, terms) -> tuple[dict[str, int], dict[str, tuple[int, ...]]]:
+        dfs, salts, _ = self.lookup3(terms)
+        return dfs, salts
+
+    def lookup3(
+        self, terms
+    ) -> tuple[dict[str, int], dict[str, tuple[int, ...]], dict[str, float]]:
+        """(df, touched salts, max block impact) per term — one filtered
+        collect for terms not yet resident."""
         want = set(terms)
         missing = sorted(want - self._df.keys() - self._miss)
         if missing:
@@ -399,10 +435,12 @@ class TermDictionary:
             for r in rows:
                 self._df[r["term"]] = int(r["df"])
                 self._salts[r["term"]] = tuple(sorted(int(s) for s in r["salts"]))
+                self._imp[r["term"]] = float(r["max_impact"])
             self._miss.update(t for t in missing if t not in self._df)
         return (
             {t: self._df[t] for t in want if t in self._df},
             {t: self._salts[t] for t in want if t in self._salts},
+            {t: self._imp[t] for t in want if t in self._imp},
         )
 
 
@@ -444,6 +482,9 @@ def wand_topk(
     salt_lookup: dict[str, tuple[int, ...]] | None = None,
     impact_scale: float = 1.0,
     salt_group_factor: int = 1,
+    restrict_salts: list[int] | None = None,
+    exclude_salts: list[int] | None = None,
+    init_theta: float | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) via pruned scoring over compressed segments.
 
@@ -454,7 +495,14 @@ def wand_topk(
     throughput batches keep G=1 for full parallelism. Exactness is
     unaffected (per-task doc ranges stay disjoint; scores identical —
     pinned by tests). Per-task memory grows with G: the scorer's dl
-    array spans at most G * salt_range doc ids."""
+    array spans at most G * salt_range doc ids.
+
+    ``restrict_salts`` / ``exclude_salts`` bound the scored doc ranges
+    (both cogroup sides) to / away from an explicit salt list — the two
+    phases of :func:`wand_topk_selective`. ``init_theta`` seeds every
+    salt's MaxScore threshold with a globally-known k-th score (see
+    :func:`_score_salt`); a salt whose total max-contribution sum falls
+    below it decodes NOTHING."""
     spark = segments.sparkSession
     qtf = {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
     if not qtf:
@@ -476,6 +524,12 @@ def wand_topk(
     # IN-filter on term is pushed down to the segments parquet scan
     seg = segments.filter(F.col("term").isin(list(qtf)))
     lens = _lens(doc_lens, lens_by_salt, salt_range)
+    if restrict_salts is not None:
+        seg = seg.filter(F.col("salt").isin(restrict_salts))
+        lens = lens.filter(F.col("salt").isin(restrict_salts))
+    if exclude_salts is not None:
+        seg = seg.filter(~F.col("salt").isin(exclude_salts))
+        lens = lens.filter(~F.col("salt").isin(exclude_salts))
     if salt_lookup is not None:
         # static salt pruning: the cogroup iterates the UNION of both
         # sides' keys, and the lens side holds EVERY salt — without this
@@ -490,7 +544,7 @@ def wand_topk(
 
     def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_salt(seg_pdf, lens_pdf, qtf, dfs, n_docs, avgdl, k, k1, b,
-                           impact_scale=impact_scale)
+                           impact_scale=impact_scale, init_theta=init_theta)
 
     gkey = _group_key(salt_group_factor)
     per_salt = (
@@ -499,6 +553,111 @@ def wand_topk(
         .applyInPandas(score_fn, "doc_id long, score double")
     )
     return per_salt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_selective(
+    segments: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    k: int = 10,
+    *,
+    salt_range: int = 1 << 20,
+    k1: float = K1,
+    b: float = B,
+    lens_by_salt: DataFrame | None = None,
+    df_lookup: dict[str, int],
+    salt_lookup: dict[str, tuple[int, ...]],
+    imp_lookup: dict[str, float] | None = None,
+    impact_scale: float = 1.0,
+    salt_group_factor: int = 16,
+    route_out: dict | None = None,
+) -> DataFrame:
+    """Two-phase selective top-k: share the GLOBAL MaxScore threshold
+    across salts, which per-salt scoring alone cannot do.
+
+    Per-salt MaxScore computes θ locally, so a salt that lacks the
+    query's dominant (highest C_t = qtf·idf·max_impact) term never
+    freezes — it fully decodes every common term even though none of its
+    docs can touch the global top-k. Measured (scripts/crossover.py,
+    1.28M docs): that makes single-phase WAND a python full-decode that
+    loses to the JVM exact plan at every volume below ~16M postings.
+
+    Phase 1 scores ONLY the salts containing the head term (every doc
+    holding the head term lives there, and each doc's postings for ALL
+    query terms live in its own salt, so phase-1 scores are final).
+    The driver then takes θ₀ = global k-th score and the residual bound
+    Σ_{t≠head} C_t from the TermDictionary's per-term max impacts:
+    if the bound < θ₀, NO doc outside the head salts can reach the
+    top-k — phase 2 is provably unnecessary and the whole query touched
+    only df(head) docs' worth of index. Otherwise phase 2 scores the
+    remaining salts seeded with ``init_theta=θ₀`` (salts whose total
+    contribution bound falls below it decode nothing) and the driver
+    merges the two k-row sets. Scores are EXACT either way — pruning
+    only ever drops provably-losing docs.
+
+    The reference's ES runs the same idea inside one Lucene process
+    (WAND over a shared live θ); this is its shared-nothing analogue —
+    the θ hand-off is one driver collect between two jobs."""
+    spark = segments.sparkSession
+    qtf = {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
+    qtf = {t: c for t, c in qtf.items() if t in df_lookup}
+    empty = "doc_id long, score double"
+    if not qtf:
+        return spark.createDataFrame([], empty)
+    imp = imp_lookup or {}
+    c_of = {
+        t: qtf[t]
+        * _idf(stats.n_docs, float(df_lookup[t]))
+        * float(imp.get(t, 1.0))
+        * impact_scale
+        for t in qtf
+    }
+    head = max(c_of, key=lambda t: (c_of[t], t))
+    head_salts = sorted(salt_lookup.get(head, ()))
+    if not head_salts:
+        return spark.createDataFrame([], empty)
+    rest_bound = float(sum(c for t, c in c_of.items() if t != head))
+
+    common = dict(
+        salt_range=salt_range, k1=k1, b=b, lens_by_salt=lens_by_salt,
+        df_lookup=df_lookup, salt_lookup=salt_lookup,
+        impact_scale=impact_scale, salt_group_factor=salt_group_factor,
+    )
+    rows1 = wand_topk(
+        segments, doc_lens, term_stats, stats, query, k,
+        restrict_salts=head_salts, **common,
+    ).collect()
+    theta0 = float(rows1[k - 1]["score"]) if len(rows1) >= k else None
+    other = set(_touched_salts(qtf, salt_lookup)) - set(head_salts)
+    if route_out is not None:
+        route_out.update(
+            head=head, head_salts=len(head_salts), theta0=theta0,
+            rest_bound=rest_bound,
+        )
+    if not other or (theta0 is not None and rest_bound < theta0):
+        # strict <: a phase-2 doc could only EQUAL θ₀, and equal scores
+        # lose on nothing — they'd still need to beat the k-th row's
+        # doc_id tie-break, but < θ₀ strictly means < the k-th score, so
+        # only the provably-below case is skipped
+        if route_out is not None:
+            route_out["phase2"] = "proved_away" if other else "no_other_salts"
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows1], empty
+        )
+    if route_out is not None:
+        route_out["phase2"] = "seeded"
+    rows2 = wand_topk(
+        segments, doc_lens, term_stats, stats, query, k,
+        exclude_salts=head_salts, init_theta=theta0, **common,
+    ).collect()
+    merged = sorted(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows1]
+        + [(int(r["doc_id"]), float(r["score"])) for r in rows2],
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    return spark.createDataFrame(merged, empty)
 
 
 def _group_key(salt_group_factor: int):

@@ -328,11 +328,12 @@ def test_search_topk_auto_dispatch(env):
     got = [(r["doc_id"], r["score"]) for r in out.collect()]
     assert [d for d, _ in got] == [d for d, _ in base]
 
-    # budget 0 forces the WAND route; rank-identical, scores to 1e-9
+    # budget 0 forces the WAND route (two-phase selective plan: the θ
+    # hand-off collects eagerly, so assert via route_out + results, not
+    # plan shape); rank-identical, scores to 1e-9
     out, route = run(0)
     assert route["route"] == "wand"
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert route["phase2"] in ("proved_away", "seeded", "no_other_salts")
     got = [(r["doc_id"], r["score"]) for r in out.collect()]
     assert [d for d, _ in got] == [d for d, _ in base]
     for (_, s), (_, e) in zip(got, base):
@@ -347,6 +348,76 @@ def test_search_topk_auto_dispatch(env):
     )
     assert route["route"] == "exact"
     assert out.count() >= 1
+
+
+def test_wand_topk_selective_exactness_and_phases(env):
+    """Two-phase selective WAND (global-θ hand-off) is rank- and
+    score-identical to the exact scorer for every query shape, and its
+    phase diagnostics behave: a dominant rare term either proves phase 2
+    away or seeds it with θ₀; a commons-only query degenerates to
+    phase 1 over all touched salts."""
+    from pyspark_codesearch.wand import TermDictionary, wand_topk_selective
+
+    td = TermDictionary(env["term_stats"], env["segments"])
+    # a rare digit uniq-marker token (df ~ 1) as the selective anchor
+    rare = (
+        env["term_stats"].filter(F.col("term").rlike("^[0-9]+$"))
+        .orderBy("df", "term").limit(1).collect()[0]["term"]
+    )
+    queries = [
+        (f"{rare} parse json", 1),       # dominant head, tiny k
+        (f"{rare} parse json string", 5),
+        ("parse json string", 10),       # commons only
+        (rare, 3),                       # head term alone
+    ]
+    seen_phases = set()
+    for q, k in queries:
+        from pyspark_codesearch.analysis import tokenize_py
+
+        dfs, salts, imps = td.lookup3(tokenize_py(q))
+        route: dict = {}
+        got = wand_topk_selective(
+            env["segments"], env["doc_lens"], env["term_stats"], env["stats"],
+            q, k, salt_range=SALT_RANGE, df_lookup=dfs, salt_lookup=salts,
+            imp_lookup=imps, route_out=route,
+        ).collect()
+        base = bm25_topk(
+            env["postings_dl"], env["doc_lens"], env["term_stats"],
+            env["stats"], q, k,
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base], q
+        for g, e in zip(got, base):
+            assert g["score"] == pytest.approx(e["score"], abs=1e-9), q
+        seen_phases.add(route.get("phase2"))
+    # the fixture corpus must exercise BOTH the proved-away/no-other
+    # fast path and the seeded phase-2 path
+    assert "seeded" in seen_phases, seen_phases
+    assert seen_phases & {"proved_away", "no_other_salts"}, seen_phases
+
+
+def test_wand_init_theta_soundness(env):
+    """wand_topk with an init_theta seed never loses a doc that belongs
+    in the top-k: seeding with the TRUE k-th score keeps results
+    identical; seeding with +inf returns nothing (everything provably
+    below the bar decodes nothing)."""
+    q = "parse json string"
+    base = wand_topk(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"], q, 10,
+        salt_range=SALT_RANGE,
+    ).collect()
+    kth = base[-1]["score"]
+    seeded = wand_topk(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"], q, 10,
+        salt_range=SALT_RANGE, init_theta=kth,
+    ).collect()
+    assert [r["doc_id"] for r in seeded] == [r["doc_id"] for r in base]
+    for s, e in zip(seeded, base):
+        assert s["score"] == pytest.approx(e["score"], abs=1e-9)
+    none = wand_topk(
+        env["segments"], env["doc_lens"], env["term_stats"], env["stats"], q, 10,
+        salt_range=SALT_RANGE, init_theta=float("inf"),
+    ).collect()
+    assert none == []
 
 
 def test_wand_batch_gemm_strategy_exact(env):
