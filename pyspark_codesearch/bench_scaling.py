@@ -223,8 +223,10 @@ Both controls run at BOTH levels, same process/thread budget as the
 engine workloads:
 
 - **ALU control** (pure-JVM range->hash->sum, no shuffle, no memory
-  streaming): scales at **{s['hardware_control_efficiency']}** — compute-bound
-  work scales nearly ideally from {n} to {n * 4} threads.
+  streaming): scales at **{s['hardware_control_efficiency']}** from {n} to
+  {n * 4} threads — clean windows on this VM read 0.86-0.96 here; a
+  lower value means the window itself was degraded (see replication
+  history) and every number above must be read against it.
 - **Memory-bandwidth control** ({n}/{n * 4} independent numpy processes
   streaming arrays: astype widening + cumsum, the access pattern of
   posting decode): aggregate throughput scales at only
