@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,95 @@ N_BUCKETS = 8
 
 class BuildInterrupted(RuntimeError):
     pass
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another LIVE writer holds this index directory's writer lock."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+@_contextmanager
+def writer_lock(out_dir: str, what: str = "write"):
+    """Single-writer mutual exclusion for one index directory.
+
+    The parquet/manifest emulation mutates tables IN PLACE (staged
+    per-bucket swaps), so unlike Iceberg — where racing writers stage
+    independent snapshots and only a metadata-pointer compare-and-swap
+    picks the winner, the loser retrying harmlessly — a second LIVE
+    writer here would corrupt shared state (e.g. _recover_swap "fixing"
+    another writer's in-flight staged rename). The honest single-host
+    analogue of the metastore CAS is this lock: O_EXCL create of
+    ``{out_dir}/_writer.lock`` carrying (pid, what, ts).
+
+    - live holder  -> ConcurrentWriteError (refuse; never corrupt);
+    - dead holder  -> the lock is broken and acquisition proceeds —
+      crash RECOVERY stays the manifest layer's job (_recover_swap,
+      _check_no_inprogress_upsert, unit fingerprints run after
+      acquisition exactly as before, so kill-and-resume semantics are
+      unchanged);
+    - released in a ``finally`` (a clean python exception is not a
+      crash: mutation has stopped, manifests make resumption safe).
+
+    Declared limits (ARCHITECTURE §6): pid liveness is host-local —
+    right for local[*] and one driver per index, while a multi-driver
+    deployment is exactly where the real catalog's CAS takes over; pid
+    reuse can make a stale lock look live, which fails in the SAFE
+    direction (spurious refusal, never corruption). Breaking a stale
+    lock races benignly: unlink-then-O_EXCL leaves exactly one winner,
+    the loser raises.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "_writer.lock")
+    payload = json.dumps({"pid": os.getpid(), "what": what, "ts": time.time()})
+
+    def try_acquire() -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return True
+
+    if not try_acquire():
+        try:
+            with open(path) as f:
+                holder = json.load(f)
+        except (OSError, ValueError):
+            holder = None  # vanished or torn mid-write: treat as stale
+        if holder is not None and _pid_alive(int(holder["pid"])):
+            raise ConcurrentWriteError(
+                f"{out_dir} is being written by live pid {holder['pid']} "
+                f"({holder.get('what', '?')} since {holder.get('ts')}): the "
+                "in-place emulation admits ONE writer per index — retry after "
+                "it finishes (a real catalog would resolve this race with a "
+                "metadata compare-and-swap instead)"
+            )
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+        if not try_acquire():
+            raise ConcurrentWriteError(
+                f"lost the stale-lock break race on {out_dir}: another writer "
+                "acquired it concurrently"
+            )
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
 
 
 def split_quarantine(docs: DataFrame, expected_sha_col: str | None = None):
@@ -122,6 +212,30 @@ def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def build_index_resumable(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    n_buckets: int = N_BUCKETS,
+    salt_range: int = 1 << 20,
+    fail_after_units: int | None = None,
+    expected_sha_col: str | None = None,
+) -> dict:
+    """Public entry: :func:`_build_index_resumable_unlocked` under the
+    index :func:`writer_lock` (a live concurrent writer — another build
+    or an upsert on the same out_dir — raises ConcurrentWriteError
+    instead of corrupting in-place state)."""
+    with writer_lock(out_dir, "build"):
+        return _build_index_resumable_unlocked(
+            docs,
+            out_dir,
+            n_buckets=n_buckets,
+            salt_range=salt_range,
+            fail_after_units=fail_after_units,
+            expected_sha_col=expected_sha_col,
+        )
+
+
+def _build_index_resumable_unlocked(
     docs: DataFrame,
     out_dir: str,
     *,
@@ -315,6 +429,30 @@ def impact_scale(out_dir: str, current_avgdl: float) -> float:
 
 
 def upsert_index(
+    spark: SparkSession,
+    out_dir: str,
+    delta_docs: DataFrame | None = None,
+    *,
+    deleted_ids: list[int] | DataFrame | None = None,
+    salt_range: int = 1 << 20,
+    fail_after_units: int | None = None,
+) -> dict:
+    """Public entry: :func:`_upsert_index_unlocked` under the index
+    :func:`writer_lock`. The lock is taken BEFORE swap recovery runs —
+    _recover_swap must never "repair" a staged rename that a live
+    concurrent writer is mid-way through."""
+    with writer_lock(out_dir, "upsert"):
+        return _upsert_index_unlocked(
+            spark,
+            out_dir,
+            delta_docs,
+            deleted_ids=deleted_ids,
+            salt_range=salt_range,
+            fail_after_units=fail_after_units,
+        )
+
+
+def _upsert_index_unlocked(
     spark: SparkSession,
     out_dir: str,
     delta_docs: DataFrame | None = None,
