@@ -25,6 +25,7 @@ dictionary seek.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
@@ -66,69 +67,115 @@ def writer_lock(out_dir: str, what: str = "write"):
     picks the winner, the loser retrying harmlessly — a second LIVE
     writer here would corrupt shared state (e.g. _recover_swap "fixing"
     another writer's in-flight staged rename). The honest single-host
-    analogue of the metastore CAS is this lock: O_EXCL create of
-    ``{out_dir}/_writer.lock`` carrying (pid, what, ts).
+    analogue of the metastore CAS is this lock on
+    ``{out_dir}/_writer.lock``.
 
-    - live holder  -> ConcurrentWriteError (refuse; never corrupt);
-    - dead holder  -> the lock is broken and acquisition proceeds —
-      crash RECOVERY stays the manifest layer's job (_recover_swap,
-      _check_no_inprogress_upsert, unit fingerprints run after
-      acquisition exactly as before, so kill-and-resume semantics are
-      unchanged);
+    Arbitration is a kernel ``flock(LOCK_EX | LOCK_NB)`` on the lock
+    file, NOT existence of the file: the kernel picks exactly one winner
+    among any number of racers and releases the lock automatically when
+    the holder dies, so there is no unlink-based "stale break" step and
+    therefore no window in which one racer's delayed unlink can delete
+    another racer's freshly acquired live lock (the TOCTOU the previous
+    O_EXCL+unlink protocol had). After flock succeeds we verify the path
+    still names the locked inode (a releasing writer unlinks the file
+    while still holding the lock; a lock acquired on that orphaned inode
+    is not the lock) and retry the open on mismatch.
+
+    The lock file's JSON payload (pid, what, ts) is a secondary CLAIM,
+    kept for diagnostics and for pre-flock crash files: a pre-existing
+    payload naming a LIVE pid is honored even if unflocked (refuse; pid
+    reuse then fails in the SAFE direction — spurious refusal, never
+    corruption), while a dead/garbled payload is simply overwritten —
+    crash RECOVERY stays the manifest layer's job (_recover_swap,
+    _check_no_inprogress_upsert, unit fingerprints run after acquisition
+    exactly as before, so kill-and-resume semantics are unchanged).
+
+    - live holder (flocked, or live-pid claim) -> ConcurrentWriteError;
+    - dead holder -> kernel already released (or the claim pid is dead):
+      acquisition proceeds;
     - released in a ``finally`` (a clean python exception is not a
-      crash: mutation has stopped, manifests make resumption safe).
+      crash: mutation has stopped, manifests make resumption safe); the
+      file is unlinked BEFORE the flock drops so no later flock on the
+      same inode can pass the path-verify.
 
-    Declared limits (ARCHITECTURE §6): pid liveness is host-local —
-    right for local[*] and one driver per index, while a multi-driver
-    deployment is exactly where the real catalog's CAS takes over; pid
-    reuse can make a stale lock look live, which fails in the SAFE
-    direction (spurious refusal, never corruption). Breaking a stale
-    lock races benignly: unlink-then-O_EXCL leaves exactly one winner,
-    the loser raises.
+    Declared limits (ARCHITECTURE §6): flock + pid liveness are
+    host-local — right for local[*] and one driver per index, while a
+    multi-driver deployment is exactly where the real catalog's CAS
+    takes over. flock also conflicts across file descriptors within one
+    process, so nested writer_lock on the same dir refuses (wanted).
     """
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "_writer.lock")
-    payload = json.dumps({"pid": os.getpid(), "what": what, "ts": time.time()})
 
-    def try_acquire() -> bool:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        return True
+    def refuse(detail: str):
+        raise ConcurrentWriteError(
+            f"{out_dir} is being written by {detail}: the in-place emulation "
+            "admits ONE writer per index — retry after it finishes (a real "
+            "catalog would resolve this race with a metadata compare-and-swap "
+            "instead)"
+        )
 
-    if not try_acquire():
-        try:
-            with open(path) as f:
-                holder = json.load(f)
-        except (OSError, ValueError):
-            holder = None  # vanished or torn mid-write: treat as stale
-        if holder is not None and _pid_alive(int(holder["pid"])):
-            raise ConcurrentWriteError(
-                f"{out_dir} is being written by live pid {holder['pid']} "
-                f"({holder.get('what', '?')} since {holder.get('ts')}): the "
-                "in-place emulation admits ONE writer per index — retry after "
-                "it finishes (a real catalog would resolve this race with a "
-                "metadata compare-and-swap instead)"
-            )
-        try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
-        if not try_acquire():
-            raise ConcurrentWriteError(
-                f"lost the stale-lock break race on {out_dir}: another writer "
-                "acquired it concurrently"
-            )
+    fd = None
     try:
-        yield
-    finally:
+        while True:
+            fd = os.open(path, os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                holder = _read_claim(fd)  # best-effort, for the message
+                os.close(fd)
+                fd = None
+                refuse(
+                    f"a live flock holder (pid {holder.get('pid', '?')}, "
+                    f"{holder.get('what', '?')} since {holder.get('ts', '?')})"
+                )
+            try:
+                same_inode = os.stat(path).st_ino == os.fstat(fd).st_ino
+            except FileNotFoundError:
+                same_inode = False
+            if same_inode:
+                break
+            os.close(fd)  # locked an orphaned inode mid-release: retry
+            fd = None
+        holder = _read_claim(fd)
+        pid = holder.get("pid")
         try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
+            pid = int(pid) if pid is not None else None
+        except (TypeError, ValueError):
+            pid = None  # malformed claim: stale, overwrite
+        if pid is not None and pid <= 0:
+            pid = None  # kill(0|-pgid, 0) probes groups, not a process
+        if pid is not None and _pid_alive(pid):
+            # unflocked file claiming a live pid (planted, or pid reuse):
+            # honor the claim — refusal is safe, corruption is not. Do
+            # NOT unlink: the claim is not ours to break.
+            refuse(f"live pid {pid} ({holder.get('what', '?')} since "
+                   f"{holder.get('ts', '?')}, claim file without flock)")
+        os.ftruncate(fd, 0)
+        os.write(fd, json.dumps(
+            {"pid": os.getpid(), "what": what, "ts": time.time()}
+        ).encode())
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)  # before the flock drops (see docstring)
+            except FileNotFoundError:
+                pass
+    finally:
+        if fd is not None:
+            os.close(fd)  # drops the flock
+
+
+def _read_claim(fd: int) -> dict:
+    """Best-effort parse of a lock file's JSON claim via an open fd."""
+    try:
+        os.lseek(fd, 0, os.SEEK_SET)
+        raw = os.read(fd, 4096)
+        holder = json.loads(raw.decode("utf-8", "replace"))
+        return holder if isinstance(holder, dict) else {}
+    except (OSError, ValueError):
+        return {}
 
 
 def split_quarantine(docs: DataFrame, expected_sha_col: str | None = None):

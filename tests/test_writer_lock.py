@@ -9,6 +9,8 @@ the lock so the documented resume path stays a plain re-call."""
 import json
 import os
 import subprocess
+import sys
+import textwrap
 
 import pytest
 from pyspark.sql import functions as F
@@ -109,3 +111,105 @@ def test_writer_lock_is_exclusive_within_a_process(tmp_path):
             with writer_lock(out, "inner"):
                 pass
     assert not os.path.exists(os.path.join(out, "_writer.lock"))
+
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize(
+    "payload",
+    ['{"what": "no pid key"}', '{"pid": "not-a-number"}', '{"pid": -1}',
+     '{"pid": 0}', "[1, 2, 3]"],
+)
+def test_malformed_claim_treated_as_stale(tmp_path, payload):
+    # a syntactically valid lock file missing/garbling the pid must fall
+    # into the stale path, not raise KeyError/ValueError out of writer_lock
+    out = str(tmp_path / "ix")
+    os.makedirs(out)
+    with open(os.path.join(out, "_writer.lock"), "w") as f:
+        f.write(payload)
+    with writer_lock(out, "over-malformed"):
+        pass
+    assert not os.path.exists(os.path.join(out, "_writer.lock"))
+
+
+def test_flock_holder_refused_then_sigkill_auto_releases(tmp_path):
+    # the kernel, not pid parsing, arbitrates: a live flock holder in
+    # another process is refused even mid-claim-write, and SIGKILLing it
+    # releases the lock with no stale-break step (the claim file left
+    # behind names a dead pid and is overwritten)
+    out = str(tmp_path / "ix")
+    script = textwrap.dedent(
+        """
+        import sys, time
+        sys.path.insert(0, sys.argv[2])
+        from pyspark_codesearch.lineage import writer_lock
+        with writer_lock(sys.argv[1], "hold"):
+            print("HELD", flush=True)
+            time.sleep(60)
+        """
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", script, out, _REPO_ROOT], stdout=subprocess.PIPE
+    )
+    try:
+        assert p.stdout.readline().startswith(b"HELD")
+        with pytest.raises(ConcurrentWriteError):
+            with writer_lock(out, "contender"):
+                pass
+        assert os.path.exists(os.path.join(out, "_writer.lock")), (
+            "a refused writer must not disturb the holder's lock file"
+        )
+    finally:
+        p.kill()
+        p.wait()
+    with writer_lock(out, "after-kill"):
+        pass
+    assert not os.path.exists(os.path.join(out, "_writer.lock"))
+
+
+def test_concurrent_racers_admit_exactly_one_writer(tmp_path):
+    # the r6 ADVICE TOCTOU: under the old unlink-then-O_EXCL stale break,
+    # racer A's delayed unlink could delete racer B's freshly acquired
+    # LIVE lock, admitting two writers. Hammer the lock from 6 processes
+    # (starting from a planted dead-pid claim); every holder plants a
+    # marker and asserts it is alone. Any overlap exits 2.
+    out = str(tmp_path / "ix")
+    _plant_lock(out, _dead_pid())
+    script = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, sys.argv[2])
+        from pyspark_codesearch.lineage import writer_lock, ConcurrentWriteError
+        out = sys.argv[1]
+        held = 0
+        for _ in range(40):
+            try:
+                with writer_lock(out, "race"):
+                    me = os.path.join(out, "holder_%d" % os.getpid())
+                    open(me, "w").close()
+                    others = [n for n in os.listdir(out)
+                              if n.startswith("holder_")]
+                    time.sleep(0.003)
+                    os.unlink(me)
+                    if others != ["holder_%d" % os.getpid()]:
+                        print("OVERLAP", others, flush=True)
+                        sys.exit(2)
+                    held += 1
+            except ConcurrentWriteError:
+                time.sleep(0.001)
+        print("OK", held)
+        sys.exit(0)
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, out, _REPO_ROOT],
+            stdout=subprocess.PIPE,
+        )
+        for _ in range(6)
+    ]
+    outs = [p.communicate()[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    total_held = sum(int(o.split()[1]) for o in outs)
+    assert total_held >= 6, (total_held, outs)  # the lock does admit writers
