@@ -88,7 +88,16 @@ def search_topk_auto(
 
     ``max_exact_postings <= 0`` forces the WAND route (test/debug hook).
     ``route_out`` (if a dict is passed) records the routing decision and
-    the selective plan's phase diagnostics."""
+    the selective plan's phase diagnostics.
+
+    EXECUTION SEMANTICS: the exact and full-WAND routes return lazy
+    DataFrames (cost paid at action time, composable into larger plans);
+    the SELECTIVE route executes eagerly — ``wand_topk_selective``'s
+    global-θ hand-off needs two driver collects, so its result is a
+    snapshot-at-call DataFrame of literal rows. Callers composing the
+    result into a bigger unexecuted plan get call-time data on that
+    route; collect()-immediately callers (tests, bench, the driver
+    entry) see no difference."""
     from collections import Counter
 
     qtf = Counter(tokenize_py(query))

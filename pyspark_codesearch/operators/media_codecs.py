@@ -290,9 +290,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 # real multi-frame payloads that are decoded ON EXECUTORS; only formats
 # genuinely impossible without codecs (MP4/H.264) remain
 # `decoder_unavailable`. Deviations (documented): interlaced images are
-# rejected; disposal methods 0/1 (do-not-dispose) and 2 (restore to
-# background color) are honored; 3 (restore-to-previous, rare) is
-# treated as do-not-dispose.
+# rejected; disposal methods 0/1 (do-not-dispose), 2 (restore to
+# background color) and 3 (restore-to-previous, one saved rect copy per
+# frame) are all honored.
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
@@ -440,7 +440,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     pixels preserve the underlying canvas (the delta-frame encoding
     every optimized animated GIF uses). Disposal 0/1 composite
     do-not-dispose style, disposal 2 restores the frame rect to the
-    background color before the next image (3 = treated as 0);
+    background color before the next image, disposal 3 restores the
+    rect to its pre-composite contents (one saved rect copy per frame);
     interlaced images are rejected."""
     if payload[:6] not in _GIF_SIGS:
         raise MediaDecodeError("not a GIF payload")
@@ -511,6 +512,9 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise MediaDecodeError("GIF frame exceeds logical screen")
         idx = idx[: w * h].reshape(h, w)
         rect = canvas[top : top + h, left : left + w]
+        # restore-to-previous needs the rect as it was BEFORE this image
+        # composites — one rect-sized copy, taken only when asked for
+        prev_rect = rect.copy() if disposal == 3 else None
         if transp_idx is not None:
             # transparent pixels never consult the palette (optimizers
             # emit transparent indices past the color table) — bounds-
@@ -526,9 +530,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
         frames.append(canvas.copy())
         if disposal == 2:
             # restore-to-background: the frame's rect resets before the
-            # NEXT image composites (disposal 3 restore-to-previous is
-            # rare and remains unimplemented — treated as do-not-dispose)
+            # NEXT image composites
             canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            # restore-to-previous: the rect reverts to its pre-composite
+            # contents before the next image
+            canvas[top : top + h, left : left + w] = prev_rect
         transp_idx = None  # a GCE governs only the image that follows it
         disposal = 0
     if not frames:

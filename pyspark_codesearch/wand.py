@@ -390,11 +390,13 @@ class TermDictionary:
     def for_index(cls, spark, out_dir: str) -> "TermDictionary":
         """Dictionary over a lineage-built index directory whose
         invalidate() re-reads the (possibly swapped) parquet dirs."""
-        from .lineage import load_segments
+        from .lineage import load_segments, read_table
 
         def factory():
+            # snapshot-pinned reads: a concurrent upsert's repoint cannot
+            # yank files out from under an executing collect
             return (
-                spark.read.parquet(f"{out_dir}/term_stats"),
+                read_table(spark, out_dir, "term_stats"),
                 load_segments(spark, out_dir),
             )
 

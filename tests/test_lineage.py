@@ -121,9 +121,23 @@ def test_bucket_pruned_query_matches_full(spark, docs, tmp_path_factory):
     ).collect()
     assert len(pruned) > 0
     assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
-    # partition pruning visible in the scan (only matching bucket dirs)
-    plan = pruned_segs._jdf.queryExecution().toString()
-    assert "bucket" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
+    # bucket pruning visible in the scan's actual file set: the pruned
+    # plan reads ONLY the matched buckets' (snapshot-resolved) dirs —
+    # stronger than the old PartitionFilters string check
+    import os as _os
+
+    def dirs_of(df):
+        return {
+            _os.path.realpath(_os.path.dirname(p.removeprefix("file:")))
+            for p in df.inputFiles()
+        }
+
+    want = {_os.path.realpath(f"{d}/segments/bucket={b}") for b in bks}
+    got_dirs = dirs_of(pruned_segs)
+    assert got_dirs and got_dirs <= want
+    all_dirs = dirs_of(load_segments(spark, d))
+    if len(bks) < 4:
+        assert len(got_dirs) < len(all_dirs)
 
 
 def test_quarantine_poison_rows(spark, docs, tmp_path_factory):

@@ -411,3 +411,46 @@ def test_gif_disposal_restore_to_background():
     payload_nd.append(0x3B)
     dec_nd = decode_gif(bytes(payload_nd))
     assert (dec_nd[1, 0, :, 0] == 200).all()
+
+
+def test_gif_disposal_restore_to_previous():
+    """Disposal method 3: the frame rect reverts to its PRE-composite
+    contents before the next image (previously treated as
+    do-not-dispose)."""
+    import struct as _s
+
+    from pyspark_codesearch.operators.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    def image(left, top, arr, disposal):
+        comp = _lzw_encode(arr.tobytes(), 8)
+        out = bytearray([0x21, 0xF9, 0x04, (disposal & 0x07) << 2, 0, 0, 0x00, 0x00])
+        out += b"\x2C" + _s.pack("<HHHH", left, top, arr.shape[1], arr.shape[0])
+        out += b"\x00" + bytes([8])
+        out.append(len(comp)); out += comp; out.append(0)
+        return out
+
+    base = np.full((6, 6), 200, dtype=np.uint8)
+    payload = bytearray(encode_gif(base, disposal=0))
+    del payload[-1]  # strip trailer; append more images
+    # image 2: 2x2 patch of 90 at (1,1), disposal=3 -> restores after
+    payload += image(1, 1, np.full((2, 2), 90, dtype=np.uint8), 3)
+    # image 3: 2x2 patch of 50 at (3,3), do-not-dispose
+    payload += image(3, 3, np.full((2, 2), 50, dtype=np.uint8), 0)
+    payload.append(0x3B)
+
+    dec = decode_gif(bytes(payload))
+    assert dec.shape == (3, 6, 6, 3)
+    assert (dec[0] == 200).all()
+    # frame 2 shows the patch composited
+    expect2 = np.full((6, 6), 200, dtype=np.uint8)
+    expect2[1:3, 1:3] = 90
+    assert np.array_equal(dec[1, :, :, 0], expect2)
+    # frame 3: the (1,1) patch REVERTED to 200 (restore-to-previous),
+    # only the (3,3) patch shows — disposal-as-0 would leave 90 behind
+    expect3 = np.full((6, 6), 200, dtype=np.uint8)
+    expect3[3:5, 3:5] = 50
+    assert np.array_equal(dec[2, :, :, 0], expect3)
