@@ -581,6 +581,61 @@ register("simsearch_ann_lsh", _ann_lsh_oracle)(
 )
 
 
+# persisted NSW graph ANN, driver-graded (promoted r7, VERDICT r6 ask #3):
+# build-once adjacency parquet + beam-searched query-many half — the
+# reference's index-time HNSW shape (es_indexer.py:111-128). The beam is
+# deterministic, so the oracle is a VALUES table computed by the pure-
+# numpy mirror (nsw_reference_rows) over the same mod-partition insert
+# order: every float64 is bit-identical to the Spark path's before the
+# shared floor-half-up rounding. Recall>=0.9@10 floors stay in pytest.
+_NSW_KW = dict(n_partitions=4, max_degree=12, ef_construction=48)
+
+
+def _nsw_oracle() -> str:
+    import pyarrow.parquet as pq
+
+    from .rounding import round_half_up_py as _r4
+
+    t = pq.read_table(
+        f"{oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    by_id = dict(zip(ids, vecs))
+    qs = {"q0": [float(x) for x in by_id[0]], "q7": [float(x) for x in by_id[7]]}
+    rows = _ss.nsw_reference_rows(ids, vecs, qs, k=10, **_NSW_KW)
+    vals = ", ".join(
+        f"('{q}', {r}, {i}, CAST({_r4(c)!r} AS DOUBLE))" for q, r, i, c in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals + ") AS t(query_id, rank, vec_id, cos)"
+        " ORDER BY query_id, rank"
+    )
+
+
+@register("simsearch_ann_nsw_indexed", _nsw_oracle)
+def simsearch_ann_nsw_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from .rounding import round_half_up as _r4c
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    by7 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ]
+    qs = {"q0": _query_vec(spark, sf_dir), "q7": by7}
+    key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    ix = _os.path.join(tempfile.gettempdir(), f"spark_graft_nsw_ix_{key}")
+    _ss.build_nsw_index(emb, ix, partitioner="mod", **_NSW_KW)
+    out = _ss.nsw_topk_indexed(spark, ix, qs, k=10, round_to=None)
+    return out.select(
+        "query_id", "rank", "vec_id", _r4c(F.col("cos")).alias("cos")
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "d2_similar_vectors_excl_self",
     """
@@ -832,32 +887,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decode_status",
         )
         .orderBy("media_id", F.asc_nulls_first("frame_no"))
-    )
-
-
-@register(
-    "d4_array_distinct_tokens",
-    f"""SELECT doc_id,
-               array_to_string(list_sort(list_distinct({duckdb_tokens_expr('text')})), ' ')
-                   AS uniq_tokens
-        FROM documents WHERE doc_id < 25 ORDER BY doc_id""",
-)
-def d4_array_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # D4 (sorted: Spark array_distinct keeps first-occurrence order,
-    # DuckDB list_distinct does not — sort both for a stable compare).
-    # Returned space-joined: the driver's canonicalizer value-hashes via
-    # pandas sort_values, which cannot hash list columns (round-1 crash);
-    # the array-typed variant stays pinned in pytest.
-    return (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") < 25)
-        .select(
-            "doc_id",
-            F.array_join(F.array_sort(F.array_distinct(tokens_col("text"))), " ").alias(
-                "uniq_tokens"
-            ),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -1169,6 +1198,35 @@ register("simsearch_ann_nsw")(
         {"q0": _query_vec(spark, sf_dir)}, k=20, n_partitions=4,
     )
 )
+
+
+# D4 array_distinct (demoted r7: the array-function shape also lives in
+# graded entries' token pipelines; slot given to simsearch_ann_nsw_indexed,
+# which proves the persisted ANN path under the driver)
+@register(
+    "d4_array_distinct_tokens",
+    f"""SELECT doc_id,
+               array_to_string(list_sort(list_distinct({duckdb_tokens_expr('text')})), ' ')
+                   AS uniq_tokens
+        FROM documents WHERE doc_id < 25 ORDER BY doc_id""",
+)
+def d4_array_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D4 (sorted: Spark array_distinct keeps first-occurrence order,
+    # DuckDB list_distinct does not — sort both for a stable compare).
+    # Returned space-joined: the driver's canonicalizer value-hashes via
+    # pandas sort_values, which cannot hash list columns (round-1 crash);
+    # the array-typed variant stays pinned in pytest.
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 25)
+        .select(
+            "doc_id",
+            F.array_join(F.array_sort(F.array_distinct(tokens_col("text"))), " ").alias(
+                "uniq_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # union-distinct shape (demoted r6: the shape is also exercised inside

@@ -604,12 +604,25 @@ def _merge_topk(per_part: DataFrame, k: int, round_to: int | None) -> DataFrame:
 
 
 def _prep_partitions(
-    embeddings: DataFrame, id_col: str, vec_col: str, n_partitions: int
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_partitions: int,
+    partitioner: str = "hash",
 ) -> DataFrame:
+    """``partitioner``: 'hash' (xxhash64 — the scale default, robust to
+    skewed id spaces) or 'mod' (vec_id % n — reproducible outside Spark,
+    used by the driver-graded entry so its VALUES oracle can mirror the
+    partition assignment in plain numpy)."""
+    part = (
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_partitions))
+        if partitioner == "hash"
+        else F.pmod(F.col(id_col).cast("long"), F.lit(n_partitions))
+    )
     return embeddings.select(
         F.col(id_col).cast("long").alias("__vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_partitions))).alias("__part"),
+        part.alias("__part"),
     )
 
 
@@ -621,6 +634,7 @@ def nsw_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_partitions: int = 4,
+    partitioner: str = "hash",
     max_degree: int = 12,
     ef_construction: int = 48,
     ef_search: int = 64,
@@ -649,9 +663,9 @@ def nsw_topk(
         )
         return pd.DataFrame({"query_id": out_q, "vec_id": out_id, "cos": out_c})
 
-    per_part = _prep_partitions(embeddings, id_col, vec_col, n_partitions).groupBy(
-        "__part"
-    ).applyInPandas(run, "query_id string, vec_id long, cos double")
+    per_part = _prep_partitions(
+        embeddings, id_col, vec_col, n_partitions, partitioner
+    ).groupBy("__part").applyInPandas(run, "query_id string, vec_id long, cos double")
     return _merge_topk(per_part, k, round_to)
 
 
@@ -671,6 +685,7 @@ def build_nsw_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_partitions: int = 4,
+    partitioner: str = "hash",
     max_degree: int = 12,
     ef_construction: int = 48,
 ) -> None:
@@ -706,7 +721,7 @@ def build_nsw_index(
         )
 
     (
-        _prep_partitions(embeddings, id_col, vec_col, n_partitions)
+        _prep_partitions(embeddings, id_col, vec_col, n_partitions, partitioner)
         .groupBy("__part")
         .applyInPandas(build, NSW_INDEX_SCHEMA)
         .write.mode("overwrite")
@@ -749,3 +764,49 @@ def nsw_topk_indexed(
         .applyInPandas(run, "query_id string, vec_id long, cos double")
     )
     return _merge_topk(per_part, k, round_to)
+
+
+def nsw_reference_rows(
+    vec_ids,
+    vectors,
+    queries: dict[str, list[float]],
+    k: int = 10,
+    *,
+    n_partitions: int = 4,
+    max_degree: int = 12,
+    ef_construction: int = 48,
+    ef_search: int = 64,
+):
+    """Pure-numpy mirror of ``nsw_topk(partitioner='mod', round_to=None)``
+    (and of the build_nsw_index/nsw_topk_indexed pair with the same
+    parameters — the persisted path is bit-identical by test).
+
+    Runs the SAME graph-build and beam-search code over the SAME
+    vec_id-sorted insert order per mod-partition, then applies the same
+    (cos DESC, vec_id ASC) merge — so every float is bit-identical to
+    the Spark path's. Lets a VALUES oracle pin the driver-graded ANN
+    entry, and gives recall baselines computable without a session.
+    Returns [(query_id, rank, vec_id, cos_raw_float64)] ordered by
+    (query_id, rank)."""
+    qids, Q = _normalize_queries(queries)
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    vecs = [np.asarray(v, dtype=np.float64) for v in vectors]
+    cand: dict[str, list[tuple[float, int]]] = {q: [] for q in qids}
+    for part in range(n_partitions):
+        idx = np.nonzero(ids % n_partitions == part)[0]
+        if idx.size == 0:
+            continue
+        idx = idx[np.argsort(ids[idx], kind="stable")]  # vec_id insert order
+        V = np.stack([vecs[i] for i in idx])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        adj = _build_nsw(Vn, max_degree, ef_construction)
+        out_q, out_id, out_c = _search_partition_graph(
+            Vn, adj, ids[idx], qids, Q, ef_search, k
+        )
+        for q, i, c in zip(out_q, out_id, out_c):
+            cand[q].append((float(c), int(i)))
+    rows = []
+    for qid in qids:
+        top = sorted(cand[qid], key=lambda t: (-t[0], t[1]))[:k]
+        rows.extend((qid, r, i, c) for r, (c, i) in enumerate(top, 1))
+    return rows

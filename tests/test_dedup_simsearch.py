@@ -354,3 +354,34 @@ def test_nsw_index_build_once_query_many(spark, sf_dir, tmp_path):
     # query-many: a second read answers identically without a rebuild
     again = sorted(map(tuple, nsw_topk_indexed(spark, idx_dir, queries, k=10).collect()))
     assert again == got_idx
+
+
+def test_nsw_reference_mirror_bit_identical(spark, sf_dir, tmp_path):
+    """The pure-numpy oracle mirror (nsw_reference_rows) reproduces the
+    persisted-index Spark path bit-for-bit under the 'mod' partitioner —
+    the basis for the driver-graded simsearch_ann_nsw_indexed VALUES
+    oracle."""
+    from pyspark_codesearch.operators.simsearch import (
+        build_nsw_index,
+        nsw_reference_rows,
+        nsw_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    by_id = dict(zip(ids, vecs))
+    queries = {"q0": by_id[0], "q7": by_id[7]}
+
+    idx_dir = str(tmp_path / "nsw_mod")
+    build_nsw_index(emb, idx_dir, n_partitions=4, partitioner="mod")
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], r["cos"])
+        for r in nsw_topk_indexed(spark, idx_dir, queries, k=10, round_to=None)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    ref = nsw_reference_rows(ids, vecs, queries, k=10, n_partitions=4)
+    assert len(got) == 20
+    assert got == ref  # raw float64 bit-identity, pre-rounding
