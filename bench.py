@@ -230,6 +230,19 @@ def main():
             single_best[q] = min(single_best.get(q, el), el)
 
     timed("single_query", single_all, n_runs=query_runs)
+
+    # oneplan exact batch: same tiny-agg shape as bm25_batch, so it
+    # belongs inside the 8-partition bracket too (interleaved best-of-5
+    # probe, r7: 0.208 s/q at sp=8 vs 0.2195 at sp=32 on the same 80k
+    # corpus — the r6 "0.178 -> 0.204 regression" was window noise plus
+    # this bracket placement)
+    from pyspark_codesearch.scoring import bm25_topk_batch
+
+    qmap = {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}
+    timed("bm25_batch_oneplan", lambda: bm25_topk_batch(
+        postings, doc_lens, term_stats, stats, qmap, 10,
+    ).collect(), n_runs=query_runs)
+
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     def one_wand(q):
@@ -257,8 +270,6 @@ def main():
 
     timed("wand_batch", wand_all, n_runs=query_runs)
 
-    qmap = {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)}
-
     def wand_oneplan():
         dfs, salts = td.lookup({t for q in BENCH_QUERIES for t in tokenize_py(q)})
         return wand_topk_batch(
@@ -268,12 +279,6 @@ def main():
         ).collect()
 
     timed("wand_batch_oneplan", wand_oneplan, n_runs=query_runs)
-
-    from pyspark_codesearch.scoring import bm25_topk_batch
-
-    timed("bm25_batch_oneplan", lambda: bm25_topk_batch(
-        postings, doc_lens, term_stats, stats, qmap, 10,
-    ).collect(), n_runs=query_runs)
 
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
