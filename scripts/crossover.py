@@ -96,6 +96,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_py_files(spark)
 
+    # same ALU control as bench.py (clean @32: ~0.43 s) so every point
+    # carries its own window state — the r6 16M flip was a cross-window
+    # artifact that a per-point control would have flagged
+    def alu_control() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1_000_000_000, 1, cpus * 2).select(
+            F.sum(F.hash("id").cast("double"))
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
     perturb = os.environ.get("CROSSOVER_PERTURB", "1") == "1"
     # needle df ~= n_docs/5000: the rare-identifier anchor of the
     # selective shape (the base sf tables have no rare tokens)
@@ -222,6 +232,7 @@ def main() -> None:
             "phase2": sel_route.get("phase2"),
             "winner": ("exact" if best == exact_best
                        else "wand" if best == wand_best else "selective"),
+            "control_alu_sec": alu_control(),
         }
         points.append(point)
         print(json.dumps(point), flush=True)
