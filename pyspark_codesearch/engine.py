@@ -17,18 +17,26 @@ from .scoring import bm25_topk
 # -------------------------------------------------- single-query cost dispatch
 # Constants are MEASURED (scripts/crossover.py, replicated+needle sf0.1
 # corpora at 1.28M and 3.84M docs, local[32], warm caches, best-of-N
-# with exact/WAND/selective runs interleaved per point — r6; previously
-# these were extrapolated from decode-rate arithmetic and every bench
-# query routed exact, so the WAND side had never been timed):
+# with exact/WAND/selective runs interleaved per point — r6, re-measured
+# r7 with per-point ALU controls; raw data BENCH/crossover_r7.json):
 #
 # COMMON shape (no dominant term — MaxScore cannot freeze, WAND
-# degenerates to a python full decode): the JVM exact plan won at EVERY
-# measured volume up to 8M matched postings in BOTH windows (1.28M docs:
-# exact 0.29-1.5 s vs WAND 0.86-1.6 s across 64k-8M) and LOST at 27.7M
-# in both (exact 8.4-9.8 s vs WAND 3.1-4.6 s); the 16M point flipped
-# with the window (exact 2.1 vs 2.4 in one, 5.4 vs 4.0 in the other —
-# this VM's documented cross-minute variance). Constant set at the
-# middle of the [8M, 28M] uncertainty band.
+# degenerates to a python full decode): the JVM exact plan wins at
+# EVERY measured volume through 83M matched postings in a clean-control
+# window (r7: exact 3.5/3.9/3.9/4.7/6.4/7.4 s vs WAND 4.9/5.2/5.6/6.4/
+# 7.9/8.3 s at 24/36/48/60/71/83M, per-point ALU 0.24-0.28 s). Two r6
+# artifacts had suggested a 16-28M crossover: a degraded-JVM window
+# (exact read 8.4-9.8 s at 27.7M there vs 3.5 s at 24M clean — the
+# python WAND workers were hit far less than the JVM) and a codegen
+# cliff in the old literal plan (a 28-branch CASE of full BM25
+# expressions crossed the JIT's 8KB generated-method limit: 22.8 s at
+# 28 terms vs 5.2 s flat at 20-24; fixed in scoring.py by folding only
+# the literal qtf*idf weight per branch). With the fix, exact's fixed
+# cost AND slope are below WAND's on healthy hardware — the constant
+# marks the edge of measured evidence, not an observed crossover, and
+# routes the unmeasured >64M tail to WAND whose python decode cost is
+# flat-ish in volume (bounded downside either way: worst observed
+# mis-route penalty is 1.4x).
 #
 # SELECTIVE shape (one dominant high-idf term — rare identifier plus
 # common context, the canonical code-search query): exact won through
@@ -51,7 +59,7 @@ from .scoring import bm25_topk
 # higher. Both paths are rank-identical (tests), so routing is purely a
 # latency decision.
 SEARCH_EXACT_MAX_POSTINGS = 6_000_000  # selective band: exact ≤4M, WAND ≥8M
-SEARCH_COMMON_WAND_MIN_POSTINGS = 16_000_000  # common band: exact ≤8M, WAND ≥28M
+SEARCH_COMMON_WAND_MIN_POSTINGS = 64_000_000  # exact measured winning ≤83M clean (r7)
 
 
 def search_topk_auto(

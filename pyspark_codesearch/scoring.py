@@ -19,6 +19,7 @@ Tie-break everywhere: score desc, doc_id asc (SURVEY §7 hard parts).
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 
 from pyspark.sql import DataFrame
@@ -98,29 +99,50 @@ def bm25_scores(
     if not rows:
         return spark.createDataFrame([], "doc_id long, score double")
 
+    # Both plan paths share the factored form w_t * tfnorm: the per-term
+    # weight qtf*idf(df) is a driver-computed float64 CONSTANT (df is
+    # known here either way), and the term-independent tf/(tf+norm)
+    # factor is emitted ONCE. Same association as the WAND scorer's
+    # cached contribs; per-row partials stay bit-identical between the
+    # two exact paths. The old shape (full BM25 expression inside every
+    # CASE branch) crossed the JIT's 8 KB generated-method limit at
+    # 25-28 branches and fell out of compiled codegen — 22.8 s vs 5.2 s
+    # at 24 branches on the same 83M-posting scan (r7 probe,
+    # BENCH/crossover_r7.json); a constant-only branch is a few bytes,
+    # so the CASE stays compiled through LITERAL_TERM_BUDGET and beyond.
+    weights = [
+        (t, qtf * math.log(1.0 + (stats.n_docs - dfv + 0.5) / (dfv + 0.5)))
+        for t, qtf, dfv in rows
+    ]
+    tf = F.col("tf").cast("double")
+    tfnorm = tf / (
+        tf
+        + k1
+        * (
+            1.0
+            - b
+            + b * F.col("dl").cast("double") / F.lit(float(max(stats.avgdl, 1e-9)))
+        )
+    )
     if len(rows) <= LITERAL_TERM_BUDGET:
         # literal plan: term IN-filter (pushed to the scan) + one CASE
-        # expression carrying qtf * idf(df) per term — no side frame, no
-        # broadcast build, whole-stage codegen end to end
-        partial = None
-        for t, qtf, dfv in rows:
-            w = F.lit(qtf) * bm25_score_col(
-                F.col("tf").cast("double"), F.lit(dfv), F.col("dl").cast("double"),
-                stats.n_docs, stats.avgdl, k1, b,
-            )
-            partial = (
-                F.when(F.col("term") == t, w)
-                if partial is None
-                else partial.when(F.col("term") == t, w)
+        # of literal weights — no side frame, no broadcast build, whole-
+        # stage codegen end to end
+        weight = None
+        for t, w in weights:
+            weight = (
+                F.when(F.col("term") == t, F.lit(w))
+                if weight is None
+                else weight.when(F.col("term") == t, F.lit(w))
             )
         matched = postings.filter(F.col("term").isin([t for t, _, _ in rows]))
         if "dl" not in postings.columns:
             matched = matched.join(
                 doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
             )
-        scored = matched.withColumn("partial", partial)
+        scored = matched.withColumn("partial", weight * tfnorm)
     else:
-        qdf = spark.createDataFrame(rows, "term string, qtf double, df double")
+        qdf = spark.createDataFrame(weights, "term string, w double")
         # broadcast tiny query-term set into the postings scan; Catalyst
         # pushes the term IN-filter down to the parquet scan
         matched = postings.join(F.broadcast(qdf), "term")
@@ -128,19 +150,7 @@ def bm25_scores(
             matched = matched.join(
                 doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
             )
-        scored = matched.withColumn(
-            "partial",
-            F.col("qtf")
-            * bm25_score_col(
-                F.col("tf").cast("double"),
-                F.col("df").cast("double"),
-                F.col("dl").cast("double"),
-                stats.n_docs,
-                stats.avgdl,
-                k1,
-                b,
-            ),
-        )
+        scored = matched.withColumn("partial", F.col("w") * tfnorm)
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 

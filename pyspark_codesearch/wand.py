@@ -601,7 +601,17 @@ def wand_topk_selective(
 
     The reference's ES runs the same idea inside one Lucene process
     (WAND over a shared live θ); this is its shared-nothing analogue —
-    the θ hand-off is one driver collect between two jobs."""
+    the θ hand-off is one driver collect between two jobs.
+
+    Pruning leverage depends on the head term's SALT LOCALITY: salts
+    are doc-id range buckets (indexing.py), so a rare term sprinkled
+    uniformly across the id space can touch every salt (route_out
+    then reports phase2='no_other_salts' and phase 1 degenerates to a
+    full single-phase scan, correct but unpruned — observed on the 64-
+    salt crossover corpus, BENCH/crossover_r7.json). At production
+    scale (salt count ~ n_docs/salt_range in the millions, df(head)
+    orders of magnitude smaller) head_salts ≪ all salts by counting,
+    which is the regime the two-phase plan is built for."""
     spark = segments.sparkSession
     qtf = {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
     qtf = {t: c for t, c in qtf.items() if t in df_lookup}
