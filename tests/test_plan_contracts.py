@@ -97,7 +97,31 @@ def test_bm25_plan_shape(spark, index_dir):
     assert "BroadcastHashJoin" in p  # query terms broadcast into postings
 
 
-def test_bucketed_ingest_has_no_single_partition_exchange(spark):
+def test_bm25_literal_case_carries_only_constants(spark):
+    """The literal plan's CASE branches are folded constants — a CASE of
+    full BM25 expressions crossed the JIT's 8KB generated-method limit
+    at 25-28 branches and silently fell out of compiled codegen (22.8 s
+    vs 5.2 s at 24 branches, BENCH/crossover_r7.json). Guard: the
+    optimized plan's scoring projection contains no LOG call (idf is
+    computed on the driver) and exactly TWO divisions (dl/avgdl and the
+    shared tf/(tf+norm) factor — NOT one per branch), at a term count
+    beyond the old cliff."""
+    from pyspark_codesearch.indexing import (
+        build_postings,
+        build_term_stats,
+        corpus_stats,
+    )
+
+    docs = ingest(corpus_df(spark, 200, seed=9))
+    po = build_postings(docs)
+    # 28 distinct terms, resolved or not — the plan shape is what counts
+    terms = [r["term"] for r in build_term_stats(po).limit(28).collect()]
+    q = bm25_topk(po, docs.select("doc_id", "doc_len"), build_term_stats(po),
+                  corpus_stats(docs), " ".join(terms), 10)
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    proj = next(ln for ln in opt.splitlines() if "CASE WHEN" in ln)
+    assert "LOG" not in proj.upper(), proj[:300]
+    assert proj.count("/") == 2, proj[:300]
     """Scale contract: doc-id assignment must never funnel the corpus
     through one partition. ingest() (dense ids, global row_number) is the
     test-scale reference and DOES — ingest_bucketed must not."""
