@@ -58,6 +58,14 @@ from .scoring import bm25_topk
 # exists for them, which is WHY the common-shape threshold is so much
 # higher. Both paths are rank-identical (tests), so routing is purely a
 # latency decision.
+# Selective band re-measured AFTER the codegen fix (run C,
+# BENCH/crossover_r7.json — 1.28M docs, interleaved, clean per-point
+# controls): exact 0.44/0.75/1.08 s vs WAND 0.83/0.84/0.81 s at
+# 2M/4M/8M prunable — the 2x-faster exact path moved the common-shape
+# threshold 4x but leaves this one where r6 put it: WAND's selective
+# cost is FLAT in volume (it decodes candidate-intersecting blocks
+# only), so the crossover tracks exact's slope, which halved along
+# with its intercept.
 SEARCH_EXACT_MAX_POSTINGS = 6_000_000  # selective band: exact ≤4M, WAND ≥8M
 SEARCH_COMMON_WAND_MIN_POSTINGS = 64_000_000  # exact measured winning ≤83M clean (r7)
 
