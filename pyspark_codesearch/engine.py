@@ -34,9 +34,10 @@ from .scoring import bm25_topk
 # the literal qtf*idf weight per branch). With the fix, exact's fixed
 # cost AND slope are below WAND's on healthy hardware — the constant
 # marks the edge of measured evidence, not an observed crossover, and
-# routes the unmeasured >64M tail to WAND whose python decode cost is
-# flat-ish in volume (bounded downside either way: worst observed
-# mis-route penalty is 1.4x).
+# only hedges the unmeasured tail. Run D extends the evidence to
+# 110.9M: exact 7.39 s vs WAND 15.9 s (2.1x, clean control) — the
+# margin WIDENS with volume, because for the no-dominant-term shape
+# WAND has no pruning mechanism and is just a slower full decode.
 #
 # SELECTIVE shape (one dominant high-idf term — rare identifier plus
 # common context, the canonical code-search query): exact won through
@@ -67,7 +68,7 @@ from .scoring import bm25_topk
 # only), so the crossover tracks exact's slope, which halved along
 # with its intercept.
 SEARCH_EXACT_MAX_POSTINGS = 6_000_000  # selective band: exact ≤4M, WAND ≥8M
-SEARCH_COMMON_WAND_MIN_POSTINGS = 64_000_000  # exact measured winning ≤83M clean (r7)
+SEARCH_COMMON_WAND_MIN_POSTINGS = 128_000_000  # exact measured winning ≤111M clean (r7)
 
 
 def search_topk_auto(
