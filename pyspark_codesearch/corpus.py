@@ -208,6 +208,62 @@ def replicated_documents(
     canonical code-search shape) need one."""
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = raw.count()
+    if not perturb:
+        # Fast path (r8): every replica of a base doc carries IDENTICAL
+        # text (modulo the appended needle token), so the expensive
+        # per-row ingest transforms — the tokenizer regex chain and
+        # sha256 — are computed ONCE PER BASE DOC (5k rows) instead of
+        # once per replica (factor x that), and the replicas are
+        # produced by a JVM explode over the precomputed columns.
+        # Row-for-row identical output to the replicate-then-ingest
+        # plan: same content/sha256/tokens/doc_len per (base doc,
+        # needle?) variant, same needle condition on the final doc_id.
+        # The base is cache()d as a materialization barrier — without
+        # it CollapseProject inlines the tokenizer expression into the
+        # post-explode projection and re-runs it per replica. ~5k rows,
+        # a few MB. The explode also preserves the base's round-robin
+        # partitioning, so the old full-corpus repartition shuffle
+        # (text bytes x factor) disappears outright.
+        base = raw.repartition(n_partitions).withColumnRenamed("text", "content")
+        variant_cols = [
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            tokens_col("content").alias("tokens"),
+        ]
+        if needle_every:
+            ncontent = F.concat(F.col("content"), F.lit(" uniqneedle"))
+            variant_cols += [
+                ncontent.alias("content_n"),
+                F.sha2(ncontent, 256).alias("sha256_n"),
+                tokens_col(ncontent).alias("tokens_n"),
+            ]
+        base = base.select(
+            "doc_id", "content", "lang", "source", "n_chars", *variant_cols
+        ).cache()
+        out = (
+            base.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_base)
+            .drop("rep")
+        )
+        if needle_every:
+            is_needle = (
+                F.pmod(F.xxhash64(F.col("doc_id") + 1), F.lit(needle_every)) == 0
+            )
+            out = out.select(
+                "doc_id",
+                F.when(is_needle, F.col("content_n")).otherwise(F.col("content")).alias("content"),
+                "lang",
+                "source",
+                "n_chars",
+                F.when(is_needle, F.col("sha256_n")).otherwise(F.col("sha256")).alias("sha256"),
+                F.when(is_needle, F.col("tokens_n")).otherwise(F.col("tokens")).alias("tokens"),
+            )
+        else:
+            out = out.select(
+                "doc_id", "content", "lang", "source", "n_chars", "sha256", "tokens"
+            )
+        return out.withColumn("doc_len", F.size("tokens"))
     rep = spark.range(factor).withColumnRenamed("id", "rep")
     replicated = (
         raw.crossJoin(F.broadcast(rep))
