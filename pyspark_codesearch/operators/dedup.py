@@ -93,11 +93,8 @@ def shingle_list(toks: list[str], n: int = SHINGLE) -> list[str]:
 def shingles_udf():
     """Arrow-batched pandas UDF: text -> array<string> of shingles.
 
-    Deliberately a pandas UDF, not a Column expression: a `transform(
-    sequence(...), i -> toks[i] ...)` over a projected tokens column gets
-    the tokenizer regex chain INLINED into the lambda by CollapseProject
-    and re-evaluated per element — measured 50s vs 2.9s for this UDF on
-    sf0.1 (5k docs). The UDF tokenizes each doc exactly once.
+    Kept for parity tests; the query path is :func:`_with_shingles`,
+    which stays in the JVM.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -111,10 +108,36 @@ def shingles_udf():
 
 
 def _with_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, sh array<string>) with tokens computed exactly once."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"), shingles_udf()(F.col(text_col)).alias("sh")
+    """(doc_id, sh array<string>) with tokens computed exactly once.
+
+    JVM end to end (r8): the tokenizer runs as the usual column
+    expression and the shingle window is a higher-order ``transform``
+    over the token array. The tokenized frame is cache()d as a
+    materialization barrier first — without it CollapseProject inlines
+    the tokenizer regex chain into the transform lambda and re-evaluates
+    it PER ELEMENT (measured 50s vs 2.9s on sf0.1 back when this was
+    why the pandas UDF existed; the barrier keeps it one evaluation per
+    doc while dropping the python boundary entirely — the UDF path
+    measured ~2.9 s of the 3.6 s minhash signature build)."""
+    # repartition BEFORE deriving tokens: the documents parquet is one
+    # file = one scan partition, and without an exchange below it the
+    # tokenizer AND the downstream map-side md5 mins would run serially
+    # in that single task (keyed on doc_id — deterministic under task
+    # retry, unlike round-robin)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t"))
+        .cache()
     )
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (SHINGLE - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, SHINGLE)),
+    )
+    sh = F.when(F.size("t") >= SHINGLE, win).otherwise(
+        F.array(F.concat_ws(" ", F.col("t")))
+    )
+    return toks.select("doc_id", sh.alias("sh"))
 
 
 def minhash_signatures(
@@ -125,10 +148,13 @@ def minhash_signatures(
     min over fixed-width hex strings == min over the underlying 128-bit
     ints, so string MIN aggregates are exact and cross-engine stable.
     """
-    sh = (
-        _with_shingles(docs, id_col, text_col)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .distinct()
+    # no ``.distinct()`` before the min-aggregation: min over a multiset
+    # equals min over its distinct set, so dedup'ing shingles first only
+    # added a full (doc_id, shingle) shuffle — without it the 16 mins
+    # partial-aggregate map-side (each doc's shingles are colocated) and
+    # the exchange carries one 16-hash row per doc
+    sh = _with_shingles(docs, id_col, text_col).select(
+        "doc_id", F.explode("sh").alias("s")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
