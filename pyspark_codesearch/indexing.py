@@ -146,7 +146,14 @@ def build_segments(
     parted = enriched.repartition("term", "salt").sortWithinPartitions(
         "term", "salt", "doc_id"
     )
-    return parted.groupBy("term", "salt").applyInPandas(encode_group, SEGMENT_SCHEMA)
+    encoded = parted.groupBy("term", "salt").applyInPandas(encode_group, SEGMENT_SCHEMA)
+    # publish the (small) block table hash-partitioned by salt: a cached
+    # segments frame then co-partitions with the packed lens table, so a
+    # query-time cogroup on salt plans ZERO exchanges (single-stage job
+    # — Sort + FlatMapCoGroupsInPandas straight over the two caches).
+    # One extra build-time exchange of block rows (postings/128), which
+    # the per-query savings repay after a handful of queries.
+    return encoded.repartition("salt")
 
 
 def write_index(

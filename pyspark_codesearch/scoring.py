@@ -135,7 +135,9 @@ def bm25_scores(
                 if weight is None
                 else weight.when(F.col("term") == t, F.lit(w))
             )
-        matched = postings.filter(F.col("term").isin([t for t, _, _ in rows]))
+        from .wand import _in_expr
+
+        matched = postings.filter(_in_expr("term", [t for t, _, _ in rows]))
         if "dl" not in postings.columns:
             matched = matched.join(
                 doc_lens.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"

@@ -42,13 +42,56 @@ def _idf(n_docs: int, df: float) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
+def _in_expr(col: str, values):
+    """``col IN (...)`` as ONE SQL string. ``F.col(..).isin(list)`` costs
+    a py4j round-trip per literal — at 64 touched salts plus the term
+    list that was ~460 py4j calls (~60 ms measured) of per-query PLAN
+    BUILD latency; the expr string is a single call and plans to the
+    same Catalyst ``In`` (pushdown unchanged). String values are
+    single-quote-escaped (analyzer tokens never contain quotes, but the
+    helper should not rely on that)."""
+    vals = list(values)
+    if all(isinstance(v, (int, np.integer)) for v in vals):
+        body = ", ".join(str(int(v)) for v in vals)
+    else:
+        body = ", ".join("'" + str(v).replace("'", "''") + "'" for v in vals)
+    return F.expr(f"{col} IN ({body})")
+
+
+def _lens_arrays(lens_pdf: pd.DataFrame):
+    """(doc_ids int64, doc_lens float64) from either lens layout: the
+    packed one-row-per-salt table from :func:`prepare_lens_by_salt`
+    (binary buffers, frombuffer round-trip is exact) or the plain
+    (doc_id, doc_len) row format of a raw ``doc_lens`` frame."""
+    if "ids" in lens_pdf.columns:
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in lens_pdf["ids"]]
+        )
+        dls = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in lens_pdf["lens"]]
+        ).astype(np.float64)
+        return ids, dls
+    return (
+        lens_pdf["doc_id"].to_numpy(np.int64),
+        lens_pdf["doc_len"].to_numpy(np.float64),
+    )
+
+
+def _lens_count(lens_pdf: pd.DataFrame) -> int:
+    """Number of docs a lens frame covers (layout-aware, no decode)."""
+    if "ids" in lens_pdf.columns:
+        return int(sum(len(b) for b in lens_pdf["ids"]) // 8)
+    return len(lens_pdf)
+
+
 def _prep_lens(lens_pdf: pd.DataFrame, avgdl: float, k1: float, b: float):
     """(base, per-doc norm constant array) for one salt — query-independent,
     computed once per salt and shared across a batch's queries."""
-    base = int(lens_pdf["doc_id"].min())
-    span = int(lens_pdf["doc_id"].max()) - base + 1
+    ids, dls = _lens_arrays(lens_pdf)
+    base = int(ids.min())
+    span = int(ids.max()) - base + 1
     dl = np.zeros(span, dtype=np.float64)
-    dl[lens_pdf["doc_id"].to_numpy(np.int64) - base] = lens_pdf["doc_len"].to_numpy(np.float64)
+    dl[ids - base] = dls
     return base, k1 * (1.0 - b + b * dl / max(avgdl, 1e-9))
 
 
@@ -309,16 +352,30 @@ def _score_group_gemm(
 
 
 def prepare_lens_by_salt(doc_lens: DataFrame, salt_range: int) -> DataFrame:
-    """doc_lens pre-partitioned by salt, cached: the lens side of every
-    query's cogroup then arrives already hash-partitioned on the group
-    key, so repeated queries skip re-shuffling the (corpus-sized) doc
-    length table — only term-pruned segments move per query.
+    """doc_lens PACKED one row per salt (salt, ids binary, lens binary)
+    and cached: the lens side of every query's cogroup is then a
+    handful of buffer rows instead of a corpus-sized row stream — the
+    per-query lens scan+shuffle+Arrow cost collapses (measured 83 ms ->
+    ~10 ms per query at 80k docs), and the scorer rebuilds the arrays
+    with an exact frombuffer round-trip (int64 ids, int32 lens).
 
-    (Production analogue: store doc_lens bucketed by salt next to the
-    segments; here the cached InMemoryRelation preserves the
-    HashPartitioning so Catalyst elides the exchange.)"""
+    This is index-build-time work (one pass over doc_lens), done once
+    per resident index. (Production analogue: store the packed doc-norm
+    table bucketed by salt next to the segments.)"""
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "salt": [int(key[0])],
+                "ids": [pdf["doc_id"].to_numpy(np.int64).tobytes()],
+                "lens": [pdf["doc_len"].to_numpy(np.int32).tobytes()],
+            }
+        )
+
     return (
         doc_lens.withColumn("salt", (F.col("doc_id") / F.lit(salt_range)).cast("int"))
+        .groupBy("salt")
+        .applyInPandas(pack, "salt int, ids binary, lens binary")
         .repartition("salt")
         .cache()
     )
@@ -433,7 +490,7 @@ class TermDictionary:
         missing = sorted(want - self._df.keys() - self._miss)
         if missing:
             self.fetched_terms.update(missing)
-            rows = self._side.filter(F.col("term").isin(missing)).collect()
+            rows = self._side.filter(_in_expr("term", missing)).collect()
             for r in rows:
                 self._df[r["term"]] = int(r["df"])
                 self._salts[r["term"]] = tuple(sorted(int(s) for s in r["salts"]))
@@ -524,14 +581,15 @@ def wand_topk(
     if not qtf:
         return spark.createDataFrame([], "doc_id long, score double")
     # IN-filter on term is pushed down to the segments parquet scan
-    seg = segments.filter(F.col("term").isin(list(qtf)))
+    # (_in_expr: one py4j call per filter instead of one per literal)
+    seg = segments.filter(_in_expr("term", list(qtf)))
     lens = _lens(doc_lens, lens_by_salt, salt_range)
     if restrict_salts is not None:
-        seg = seg.filter(F.col("salt").isin(restrict_salts))
-        lens = lens.filter(F.col("salt").isin(restrict_salts))
+        seg = seg.filter(_in_expr("salt", restrict_salts))
+        lens = lens.filter(_in_expr("salt", restrict_salts))
     if exclude_salts is not None:
-        seg = seg.filter(~F.col("salt").isin(exclude_salts))
-        lens = lens.filter(~F.col("salt").isin(exclude_salts))
+        seg = seg.filter(~_in_expr("salt", exclude_salts))
+        lens = lens.filter(~_in_expr("salt", exclude_salts))
     if salt_lookup is not None:
         # static salt pruning: the cogroup iterates the UNION of both
         # sides' keys, and the lens side holds EVERY salt — without this
@@ -541,7 +599,7 @@ def wand_topk(
         touched = _touched_salts(qtf, salt_lookup)
         if not touched:
             return spark.createDataFrame([], "doc_id long, score double")
-        lens = lens.filter(F.col("salt").isin(touched))
+        lens = lens.filter(_in_expr("salt", touched))
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
     def score_fn(key, seg_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -761,7 +819,7 @@ def wand_topk_batch(
     qtfs = {
         qid: {t: c for t, c in m.items() if t in dfs} for qid, m in qtfs.items()
     }
-    seg = segments.filter(F.col("term").isin(list(dfs)))
+    seg = segments.filter(_in_expr("term", list(dfs)))
     lens = _lens(doc_lens, lens_by_salt, salt_range)
     qsalts = None
     union: list[int] = []
@@ -771,7 +829,7 @@ def wand_topk_batch(
             return spark.createDataFrame(
                 [], "query_id string, rank int, doc_id long, score double"
             )
-        lens = lens.filter(F.col("salt").isin(union))
+        lens = lens.filter(_in_expr("salt", union))
         # per-query touched-salt sets: a query skips salts that only
         # OTHER queries' terms touch (cheap set probe per group)
         qsalts = {qid: set(_touched_salts(m, salt_lookup)) for qid, m in qtfs.items()}
@@ -804,7 +862,7 @@ def wand_topk_batch(
             # group (the cogrouped lens side lists exactly those). The
             # budget covers C (docs x terms) AND the result S = C @ W
             # (docs x queries) — a wide batch makes S the bigger matrix
-            est_docs = min(int(seg_pdf["n_docs"].sum()), len(lens_pdf))
+            est_docs = min(int(seg_pdf["n_docs"].sum()), _lens_count(lens_pdf))
             est_cells = est_docs * (len(term_groups) + len(qtfs))
             pick = "gemm" if est_cells <= gemm_budget else "maxscore"
         if pick == "gemm":
