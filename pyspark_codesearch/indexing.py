@@ -62,11 +62,20 @@ def build_postings(docs: DataFrame) -> DataFrame:
 def build_postings_with_dl(docs: DataFrame) -> DataFrame:
     """(term, doc_id, tf, dl) — doc_len carried THROUGH the groupBy key
     (functionally dependent on doc_id) instead of joined back afterwards:
-    saves a full postings<->doc_lens shuffle join in the build."""
+    saves a full postings<->doc_lens shuffle join in the build.
+
+    Published repartition("doc_id") (r8): a cached postings frame is
+    then hash(doc_id)-partitioned, which subset-satisfies the exact
+    scorer's groupBy("doc_id") clustering — every literal-plan BM25
+    query runs as ONE stage (scan → filter → CASE → complete agg →
+    TakeOrderedAndProject, zero exchanges; measured 0.22 → 0.10 s/q at
+    80k docs). The batch scorer's groupBy(query_id, doc_id) elides the
+    same way. Costs one postings-sized exchange per build."""
     return (
         docs.select("doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .repartition("doc_id")
     )
 
 

@@ -152,6 +152,11 @@ def writer_lock(out_dir: str, what: str = "write"):
             refuse(f"live pid {pid} ({holder.get('what', '?')} since "
                    f"{holder.get('ts', '?')}, claim file without flock)")
         os.ftruncate(fd, 0)
+        # rewind: _read_claim left the offset at EOF, and writing there
+        # after the truncate would NUL-prefix the payload — later
+        # _read_claim calls would parse {} and degrade the live-pid
+        # refusal diagnostics to 'pid ?' (lock safety itself is flock's)
+        os.lseek(fd, 0, os.SEEK_SET)
         os.write(fd, json.dumps(
             {"pid": os.getpid(), "what": what, "ts": time.time()}
         ).encode())

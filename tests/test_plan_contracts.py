@@ -122,9 +122,16 @@ def test_bm25_literal_case_carries_only_constants(spark):
     proj = next(ln for ln in opt.splitlines() if "CASE WHEN" in ln)
     assert "LOG" not in proj.upper(), proj[:300]
     assert proj.count("/") == 2, proj[:300]
+
+
+def test_bucketed_ingest_has_no_single_partition_exchange(spark):
     """Scale contract: doc-id assignment must never funnel the corpus
     through one partition. ingest() (dense ids, global row_number) is the
-    test-scale reference and DOES — ingest_bucketed must not."""
+    test-scale reference and DOES — ingest_bucketed must not.
+
+    (r8: restored as its own test — the r7 edit had absorbed this body
+    into test_bm25_literal_case_carries_only_constants, so a CASE-plan
+    regression would have masked an ingest regression.)"""
     from pyspark_codesearch.corpus import ingest_bucketed
 
     raw = corpus_df(spark, 200, seed=9)
