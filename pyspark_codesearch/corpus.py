@@ -208,7 +208,7 @@ def replicated_documents(
     canonical code-search shape) need one."""
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = raw.count()
-    if not perturb:
+    if not perturb and factor >= 1:
         # Fast path (r8): every replica of a base doc carries IDENTICAL
         # text (modulo the appended needle token), so the expensive
         # per-row ingest transforms — the tokenizer regex chain and

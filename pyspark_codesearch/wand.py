@@ -51,6 +51,9 @@ def _in_expr(col: str, values):
     single-quote-escaped (analyzer tokens never contain quotes, but the
     helper should not rely on that)."""
     vals = list(values)
+    if not vals:
+        # SQL `IN ()` does not parse; match isin([])'s semantics
+        return F.lit(False)
     if all(isinstance(v, (int, np.integer)) for v in vals):
         body = ", ".join(str(int(v)) for v in vals)
     else:
