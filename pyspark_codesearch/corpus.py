@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from .analysis import tokens_col
 
 LANGS = ("python", "java", "js", "go", "md")
+# last replicated_documents fast-path base cache (unpersisted on the
+# next call so repeated bench builds don't accumulate token frames)
+_REPLICA_BASE_CACHES: list = []
 _EXT = {"python": "py", "java": "java", "js": "js", "go": "go", "md": "md"}
 
 _KEYWORDS = (
@@ -239,6 +242,12 @@ def replicated_documents(
         base = base.select(
             "doc_id", "content", "lang", "source", "n_chars", *variant_cols
         ).cache()
+        # bound barrier-cache retention like dedup._with_shingles: drop
+        # the previous call's base blocks (plans referencing the old
+        # InMemoryRelation recompute through it — barrier semantics keep)
+        while _REPLICA_BASE_CACHES:
+            _REPLICA_BASE_CACHES.pop().unpersist()
+        _REPLICA_BASE_CACHES.append(base)
         out = (
             base.withColumn(
                 "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))

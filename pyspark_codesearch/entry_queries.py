@@ -629,11 +629,17 @@ def simsearch_ann_nsw_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = {"q0": _query_vec(spark, sf_dir), "q7": by7}
     # key includes the pid: two processes grading the same sf_dir
     # concurrently (pytest + driver, parallel test workers) must not
-    # race one's overwrite-build against the other's read (r7 ADVICE)
+    # race one's overwrite-build against the other's read (r7 ADVICE);
+    # the per-pid dir is removed at interpreter exit (the returned
+    # DataFrame reads it lazily, so cleanup cannot happen earlier)
+    import atexit
+    import shutil as _shutil
+
     key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     ix = _os.path.join(
         tempfile.gettempdir(), f"spark_graft_nsw_ix_{key}_{_os.getpid()}"
     )
+    atexit.register(_shutil.rmtree, ix, ignore_errors=True)
     _ss.build_nsw_index(emb, ix, partitioner="mod", **_NSW_KW)
     out = _ss.nsw_topk_indexed(spark, ix, qs, k=10, round_to=None)
     return out.select(

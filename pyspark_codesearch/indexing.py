@@ -59,24 +59,27 @@ def build_postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def build_postings_with_dl(docs: DataFrame) -> DataFrame:
+def build_postings_with_dl(docs: DataFrame, *, cluster_by_doc: bool = True) -> DataFrame:
     """(term, doc_id, tf, dl) — doc_len carried THROUGH the groupBy key
     (functionally dependent on doc_id) instead of joined back afterwards:
     saves a full postings<->doc_lens shuffle join in the build.
 
-    Published repartition("doc_id") (r8): a cached postings frame is
-    then hash(doc_id)-partitioned, which subset-satisfies the exact
-    scorer's groupBy("doc_id") clustering — every literal-plan BM25
-    query runs as ONE stage (scan → filter → CASE → complete agg →
-    TakeOrderedAndProject, zero exchanges; measured 0.22 → 0.10 s/q at
-    80k docs). The batch scorer's groupBy(query_id, doc_id) elides the
-    same way. Costs one postings-sized exchange per build."""
-    return (
+    ``cluster_by_doc`` (default) publishes repartition("doc_id") (r8):
+    a cached postings frame is then hash(doc_id)-partitioned, which
+    subset-satisfies the exact scorer's groupBy("doc_id") clustering —
+    every literal-plan BM25 query runs as ONE stage (scan → filter →
+    CASE → complete agg → TakeOrderedAndProject, zero exchanges;
+    measured 0.22 → 0.10 s/q at 80k docs). The batch scorer's
+    groupBy(query_id, doc_id) elides the same way. Costs one
+    postings-sized exchange per build — build-only consumers that
+    immediately re-partition by another key (lineage bucket rewrites,
+    write_index) pass False and skip it."""
+    out = (
         docs.select("doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        .repartition("doc_id")
     )
+    return out.repartition("doc_id") if cluster_by_doc else out
 
 
 def build_term_stats(postings: DataFrame) -> DataFrame:
@@ -182,7 +185,9 @@ def write_index(
     """
     stats = corpus_stats(docs)
     doc_lens = docs.select("doc_id", "doc_len")
-    postings_dl = build_postings_with_dl(docs)
+    # build-only path: segments re-partition by (term, salt) and the
+    # parquet outputs carry their own layout — skip the doc_id exchange
+    postings_dl = build_postings_with_dl(docs, cluster_by_doc=False)
     segs = build_segments(postings_dl, stats, salt_range=salt_range, k1=k1, b=b)
     segs.sortWithinPartitions("term", "salt", "block_id").write.mode("overwrite").parquet(
         f"{out_dir}/segments"

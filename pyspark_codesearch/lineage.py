@@ -354,7 +354,9 @@ def _build_index_resumable_unlocked(
     def do_postings():
         from .indexing import build_postings_with_dl, build_term_stats
 
-        postings = build_postings_with_dl(docs).withColumn(
+        # cluster_by_doc=False: the rows are re-partitioned by term
+        # bucket on the next line, so the doc_id exchange would be dead
+        postings = build_postings_with_dl(docs, cluster_by_doc=False).withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
         )
         (
@@ -815,9 +817,9 @@ def _upsert_index_unlocked(
     # ---- stage 2: affected postings buckets
     delta_postings = None
     if delta_docs is not None:
-        delta_postings = build_postings_with_dl(delta_docs).withColumn(
-            "bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
-        )
+        delta_postings = build_postings_with_dl(
+            delta_docs, cluster_by_doc=False
+        ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
 
     for b in affected_buckets:
 

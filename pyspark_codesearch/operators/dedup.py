@@ -41,6 +41,9 @@ LSH_PRESETS: dict[str, tuple[int, int]] = {
     "precision": (128, 16),
 }
 SHINGLE = 3
+# last two _with_shingles barrier caches (older ones are unpersisted on
+# the next call so a long session doesn't accumulate token frames)
+_SHINGLE_TOKS_CACHES: list = []
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
@@ -130,6 +133,14 @@ def _with_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t"))
         .cache()
     )
+    # bound barrier-cache retention: drop blocks of frames cached by
+    # EARLIER calls (keep the previous one — ngram_jaccard_pairs holds
+    # two live shingle frames at once). Unpersist only drops cached
+    # blocks; any plan still referencing the InMemoryRelation recomputes
+    # through it, so the CollapseProject barrier survives.
+    while len(_SHINGLE_TOKS_CACHES) > 1:
+        _SHINGLE_TOKS_CACHES.pop(0).unpersist()
+    _SHINGLE_TOKS_CACHES.append(toks)
     win = F.transform(
         F.sequence(F.lit(1), F.size("t") - (SHINGLE - 1)),
         lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, SHINGLE)),

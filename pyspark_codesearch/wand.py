@@ -48,8 +48,9 @@ def _in_expr(col: str, values):
     list that was ~460 py4j calls (~60 ms measured) of per-query PLAN
     BUILD latency; the expr string is a single call and plans to the
     same Catalyst ``In`` (pushdown unchanged). String values are
-    single-quote-escaped (analyzer tokens never contain quotes, but the
-    helper should not rely on that)."""
+    backslash- and single-quote-escaped (analyzer tokens never contain
+    either, but the helper should not rely on that — Spark SQL string
+    literals process backslash escapes by default)."""
     vals = list(values)
     if not vals:
         # SQL `IN ()` does not parse; match isin([])'s semantics
@@ -57,7 +58,10 @@ def _in_expr(col: str, values):
     if all(isinstance(v, (int, np.integer)) for v in vals):
         body = ", ".join(str(int(v)) for v in vals)
     else:
-        body = ", ".join("'" + str(v).replace("'", "''") + "'" for v in vals)
+        body = ", ".join(
+            "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in vals
+        )
     return F.expr(f"{col} IN ({body})")
 
 
